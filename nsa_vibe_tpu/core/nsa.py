@@ -1,0 +1,156 @@
+"""Functional NSA attention module.
+
+The TPU-native replacement for the reference's 1855-line NSAAttention
+(nsa/core/nsa_attention.py): a pure function over a parameter pytree with
+two entry points — batched prefill and single-token decode (decode lives
+in nsa_vibe_tpu.core.decode). No env-flag routing ladder: one kernel path
+(Pallas) with the jnp reference oracle selectable via config.
+
+Layouts: x [B, S, dim] -> out [B, S, dim].
+  Q: [B, S, G, h, Dk] (RoPE'd);  per-branch K/V: [B, G, S, D*].
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.core.gate import gate_probs, init_gate_params
+from nsa_vibe_tpu.ops import reference as ref_ops
+from nsa_vibe_tpu.ops.block_index import BlockMeta, build_block_meta, num_cmp_blocks
+from nsa_vibe_tpu.ops.compress import init_conv_phi_weight, pool_phi_rope_kv
+from nsa_vibe_tpu.ops.rope import apply_rope
+from nsa_vibe_tpu.ops.selection import select_topn_blocks, selection_scores
+
+
+def _uniform_linear(key, fan_in: int, fan_out: int, dtype) -> jnp.ndarray:
+    lim = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, (fan_in, fan_out), dtype, -lim, lim)
+
+
+def init_nsa_params(key: jax.Array, cfg: NSAConfig, dtype=jnp.float32) -> dict:
+    """Parameter pytree: 7 projections + out + gate (+ optional conv ϕ)."""
+    H, G = cfg.n_heads, cfg.n_kv_groups
+    keys = jax.random.split(key, 9)
+    params = {
+        "W_Q": _uniform_linear(keys[0], cfg.dim, H * cfg.d_k, dtype),
+        "W_K_sel": _uniform_linear(keys[1], cfg.dim, G * cfg.d_k, dtype),
+        "W_V_sel": _uniform_linear(keys[2], cfg.dim, G * cfg.d_v, dtype),
+        "W_K_win": _uniform_linear(keys[3], cfg.dim, G * cfg.d_k, dtype),
+        "W_V_win": _uniform_linear(keys[4], cfg.dim, G * cfg.d_v, dtype),
+        "W_K_cmp": _uniform_linear(keys[5], cfg.dim, G * cfg.d_k, dtype),
+        "W_V_cmp": _uniform_linear(keys[6], cfg.dim, G * cfg.d_v, dtype),
+        "W_O": _uniform_linear(keys[7], H * cfg.d_v, cfg.dim, dtype),
+        "gate": init_gate_params(keys[8], cfg.d_k, cfg.gate_hidden, dtype),
+    }
+    if cfg.phi == "conv":
+        params["phi_k"] = init_conv_phi_weight(cfg.d_k, cfg.l, dtype)
+        params["phi_v"] = init_conv_phi_weight(cfg.d_v, cfg.l, dtype)
+    return params
+
+
+def project_qkv(params: dict, x: jnp.ndarray, cfg: NSAConfig):
+    """All 7 projections. Returns Q [B,S,H,Dk] (no RoPE yet) and per-branch
+    K/V in [B,G,S,D*] layout (no RoPE yet)."""
+    B, S, _ = x.shape
+    G = cfg.n_kv_groups
+
+    def kv(w, dd):
+        return (x @ w).reshape(B, S, G, dd).transpose(0, 2, 1, 3)
+
+    Q = (x @ params["W_Q"]).reshape(B, S, cfg.n_heads, cfg.d_k)
+    return (
+        Q,
+        kv(params["W_K_sel"], cfg.d_k), kv(params["W_V_sel"], cfg.d_v),
+        kv(params["W_K_win"], cfg.d_k), kv(params["W_V_win"], cfg.d_v),
+        kv(params["W_K_cmp"], cfg.d_k), kv(params["W_V_cmp"], cfg.d_v),
+    )
+
+
+def combine_branches(
+    params: dict, cfg: NSAConfig, Q: jnp.ndarray,
+    O_cmp: jnp.ndarray, O_sel: jnp.ndarray, O_win: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gate over the group-mean-pooled query, weighted branch sum, output
+    projection. Q: [B,S,G,h,Dk]; O_*: [B,S,G,h,Dv]. Returns (out, gates)."""
+    B, S, G, h, _ = Q.shape
+    q_pooled = Q.mean(axis=3)  # [B,S,G,Dk]
+    gates = gate_probs(
+        params["gate"], q_pooled, cfg.gate_temp,
+        force_branch=cfg.force_branch, force_uniform=cfg.force_uniform_gate,
+    )  # [B,S,G,3]
+    w_cmp = gates[..., 0][..., None, None]  # [B,S,G,1,1]
+    w_sel = gates[..., 1][..., None, None]
+    w_win = gates[..., 2][..., None, None]
+    O = w_cmp * O_cmp + w_sel * O_sel + w_win * O_win
+    out = O.reshape(B, S, cfg.n_heads * cfg.d_v) @ params["W_O"]
+    return out, gates
+
+
+def nsa_prefill(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: NSAConfig,
+    meta: Optional[BlockMeta] = None,
+    pos_offset: int = 0,
+) -> Tuple[jnp.ndarray, dict]:
+    """Batched prefill forward (the training hot path; reference
+    _forward_prefill_batched, nsa_attention.py:978-1448).
+
+    x: [B, S, dim]. Returns (out [B, S, dim], aux) where aux carries the
+    raw/compressed K/V (for cache seeding), selection indices and gates.
+    """
+    B, S, _ = x.shape
+    if meta is None:
+        meta = build_block_meta(S + pos_offset, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
+    G, h = cfg.n_kv_groups, cfg.h_per_group
+    scale = 1.0 / float(np.sqrt(cfg.d_k))
+    t_pos = jnp.arange(pos_offset, pos_offset + S, dtype=jnp.int32)
+
+    Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(params, x, cfg)
+    Q = apply_rope(Q.reshape(B, S, -1), t_pos, cfg.rope_base, cfg.rope_scale)
+    Q = Q.reshape(B, S, G, h, cfg.d_k)
+    K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
+    K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
+
+    # ϕ-compressed stream (RoPE inside, at absolute positions)
+    K_cmp, V_cmp = pool_phi_rope_kv(
+        K_cmp_raw, V_cmp_raw, cfg.l, cfg.d, pos=t_pos,
+        k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
+        rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
+    )
+    S_cmp = K_cmp.shape[2]
+    # static per-position visible-compressed-token counts
+    num_cmp_t = jnp.asarray(
+        num_cmp_blocks(np.arange(pos_offset + 1, pos_offset + S + 1), cfg.l, cfg.d),
+        dtype=jnp.int32,
+    )
+    num_cmp_t = jnp.minimum(num_cmp_t, S_cmp)
+
+    # Eq. 8-12 selection
+    M = jnp.asarray(meta.M_csl[:S_cmp])
+    p_grp = selection_scores(Q, K_cmp, M, scale, num_cmp_t)          # [B,S,G,S_sel]
+    sel_idx = select_topn_blocks(
+        p_grp, cfg.n_sel, t_pos, cfg.l_sel, cfg.force_init, cfg.force_local
+    )                                                                 # [B,S,G,n]
+    sel_idx = jax.lax.stop_gradient(sel_idx)
+
+    # three branches
+    O_cmp = ref_ops.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
+    O_sel = ref_ops.selection_attention(Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale)
+    O_win = ref_ops.sliding_window_attention(Q, K_win, V_win, t_pos, cfg.w, scale)
+
+    out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
+    aux = {
+        "gates": gates,
+        "sel_idx": sel_idx,
+        "K_sel": K_sel, "V_sel": V_sel,
+        "K_win": K_win, "V_win": V_win,
+        "K_cmp_raw": K_cmp_raw, "V_cmp_raw": V_cmp_raw,
+        "K_cmp": K_cmp, "V_cmp": V_cmp,
+    }
+    return out, aux
