@@ -1,0 +1,168 @@
+"""Single-token decode step — fully jitted, static shapes, O(reads) work.
+
+Reference behavior contract (nsa/core/nsa_attention.py:545-976):
+  * append token to selection + window caches;
+  * emit one compressed token every d steps after warmup l
+    ((S_raw - l) % d == 0), ϕ over the last l raw tokens with K RoPE'd at
+    absolute positions;
+  * selection scored against the emitted compressed stream, group-reduced,
+    deterministic top-n with forced blocks;
+  * per-step read counters: num_cmp(S) + n*l' + min(w, S).
+
+TPU-first: the caches are fixed-capacity (see core/cache.py), the emission
+is an O(1) gather/scatter under a flag (no lax.cond buffer copies), and the
+selection branch *gathers* exactly n*l' keys (XLA gather reads only the
+gathered rows — per-step HBM traffic is O(num_cmp_capacity + w + n*l'),
+matching the NSA complexity claim, not O(S)).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsa_vibe_tpu.core.cache import NSACache, cmp_capacity
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.core.nsa import combine_branches, project_qkv
+from nsa_vibe_tpu.ops.rope import apply_rope
+from nsa_vibe_tpu.ops.selection import select_topn_blocks, selection_scores
+
+NEG_INF = float("-inf")
+
+
+class DecodeInfo(NamedTuple):
+    """Per-step observability (reference decode.reads / decode.select logs)."""
+
+    reads_pred: jnp.ndarray   # num_cmp + n*l' + min(w, S_raw)
+    reads_cmp: jnp.ndarray    # num_cmp(S_raw)
+    reads_sel: jnp.ndarray    # n*l' (padded static gather width)
+    reads_win: jnp.ndarray    # min(w, S_raw)
+    sel_valid_tokens: jnp.ndarray  # actual un-masked gathered tokens (per B,G mean)
+    sel_idx: jnp.ndarray      # [B,1,G,n] selected blocks
+    gates: jnp.ndarray        # [B,1,G,3]
+
+
+def _masked_single_query_attention(Q, K, V, valid, scale):
+    """Q: [B,G,h,Dk]; K/V: [B,G,N,D*]; valid: [B,G,N] or [N] bool."""
+    logits = jnp.einsum(
+        "bghd,bgnd->bghn", Q.astype(jnp.float32), K.astype(jnp.float32)
+    ) * scale
+    if valid.ndim == 1:
+        valid = valid[None, None, :]
+    logits = jnp.where(valid[:, :, None, :], logits, NEG_INF)
+    any_visible = jnp.any(valid, axis=-1)[:, :, None, None]
+    p = jax.nn.softmax(logits, axis=-1)
+    p = jnp.where(any_visible, p, 0.0)
+    out = jnp.einsum("bghn,bgnv->bghv", p, V.astype(jnp.float32))
+    return out.astype(Q.dtype)
+
+
+def _gathered_selection_attention(Q, k_sel, v_sel, blocks, t, l_sel, scale):
+    """Gather the selected blocks' tokens and attend (full softmax over the
+    gathered set, positions clamped to <= t). blocks: [B,G,n]."""
+    B, G, C, Dk = k_sel.shape
+    n = blocks.shape[-1]
+    tok = blocks[..., None] * l_sel + jnp.arange(l_sel, dtype=jnp.int32)  # [B,G,n,l_sel]
+    valid = (blocks[..., None] >= 0) & (tok <= t) & (tok < C)
+    flat = tok.reshape(B, G, n * l_sel)
+    safe = jnp.clip(flat, 0, C - 1)
+    K = jnp.take_along_axis(k_sel, safe[..., None], axis=2)  # [B,G,n*l_sel,Dk]
+    V = jnp.take_along_axis(v_sel, safe[..., None], axis=2)
+    out = _masked_single_query_attention(Q, K, V, valid.reshape(B, G, -1), scale)
+    return out, valid
+
+
+def nsa_decode_step(
+    params: dict, x: jnp.ndarray, cache: NSACache, cfg: NSAConfig
+) -> Tuple[jnp.ndarray, NSACache, DecodeInfo]:
+    """One decode step. x: [B, 1, dim] -> (out [B,1,dim], cache', info)."""
+    B = x.shape[0]
+    G, h = cfg.n_kv_groups, cfg.h_per_group
+    C = cache.capacity
+    C_cmp = cmp_capacity(C, cfg.l, cfg.d)
+    scale = 1.0 / float(np.sqrt(cfg.d_k))
+    t = cache.t                     # tokens already cached; this token's position
+    s_raw = t + 1                   # raw length after appending
+
+    Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(params, x, cfg)
+    pos = t[None]
+    Q = apply_rope(Q.reshape(B, 1, -1), pos, cfg.rope_base, cfg.rope_scale)
+    Q = Q.reshape(B, 1, G, h, cfg.d_k)
+    K_sel = apply_rope(K_sel, pos, cfg.rope_base, cfg.rope_scale)
+    K_win = apply_rope(K_win, pos, cfg.rope_base, cfg.rope_scale)
+    K_cmp_rope = apply_rope(K_cmp_raw, pos, cfg.rope_base, cfg.rope_scale)
+
+    # --- cache writes (index-addressed, O(1)) ---
+    k_sel = jax.lax.dynamic_update_slice(cache.k_sel, K_sel, (0, 0, t, 0))
+    v_sel = jax.lax.dynamic_update_slice(cache.v_sel, V_sel, (0, 0, t, 0))
+    win_slot = t % cfg.w
+    k_win = jax.lax.dynamic_update_slice(cache.k_win, K_win, (0, 0, win_slot, 0))
+    v_win = jax.lax.dynamic_update_slice(cache.v_win, V_win, (0, 0, win_slot, 0))
+    raw_slot = t % cfg.l
+    k_cmp_raw = jax.lax.dynamic_update_slice(cache.k_cmp_raw, K_cmp_rope, (0, 0, raw_slot, 0))
+    v_cmp_raw = jax.lax.dynamic_update_slice(cache.v_cmp_raw, V_cmp_raw, (0, 0, raw_slot, 0))
+
+    # --- compressed emission: every d steps after warmup l ---
+    emit = (s_raw >= cfg.l) & ((s_raw - cfg.l) % cfg.d == 0)
+    num_cmp = jnp.where(s_raw >= cfg.l, (s_raw - cfg.l) // cfg.d + 1, 0).astype(jnp.int32)
+    e_slot = jnp.clip(num_cmp - 1, 0, C_cmp - 1)
+    if cfg.phi == "conv":
+        # ordered window: positions s_raw-l .. s_raw-1 live at slots pos % l
+        order = (jnp.arange(cfg.l, dtype=jnp.int32) + s_raw) % cfg.l
+        k_window = jnp.take(k_cmp_raw, order, axis=2)       # [B,G,l,Dk]
+        v_window = jnp.take(v_cmp_raw, order, axis=2)
+        k_new = jnp.einsum("bgld,dl->bgd", k_window, params["phi_k"].astype(k_window.dtype))
+        v_new = jnp.einsum("bgld,dl->bgd", v_window, params["phi_v"].astype(v_window.dtype))
+    else:
+        k_new = k_cmp_raw.mean(axis=2)                       # avg ϕ (ring order-free)
+        v_new = v_cmp_raw.mean(axis=2)
+    old_k = jax.lax.dynamic_slice(cache.k_cmp, (0, 0, e_slot, 0), (B, G, 1, cfg.d_k))
+    old_v = jax.lax.dynamic_slice(cache.v_cmp, (0, 0, e_slot, 0), (B, G, 1, cfg.d_v))
+    k_write = jnp.where(emit, k_new[:, :, None, :], old_k)
+    v_write = jnp.where(emit, v_new[:, :, None, :], old_v)
+    k_cmp = jax.lax.dynamic_update_slice(cache.k_cmp, k_write, (0, 0, e_slot, 0))
+    v_cmp = jax.lax.dynamic_update_slice(cache.v_cmp, v_write, (0, 0, e_slot, 0))
+
+    # --- selection scoring (Eq. 8-12) over the emitted compressed stream ---
+    meta_S_sel = C // cfg.l_sel + (1 if C % cfg.l_sel else 0)
+    from nsa_vibe_tpu.ops.block_index import build_block_meta
+
+    meta = build_block_meta(C, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
+    M = jnp.asarray(meta.M_csl[:C_cmp, :meta_S_sel])
+    p_grp = selection_scores(Q, k_cmp, M, scale, num_cmp[None])        # [B,1,G,S_sel]
+    sel_idx = select_topn_blocks(
+        p_grp, cfg.n_sel, t[None], cfg.l_sel, cfg.force_init, cfg.force_local
+    )                                                                  # [B,1,G,n]
+
+    # --- three branches (single query) ---
+    O_sel, sel_valid = _gathered_selection_attention(
+        Q[:, 0], k_sel, v_sel, sel_idx[:, 0], t, cfg.l_sel, scale
+    )
+    win_valid = (jnp.arange(cfg.w, dtype=jnp.int32) <= t) | (t >= cfg.w)
+    O_win = _masked_single_query_attention(Q[:, 0], k_win, v_win, win_valid, scale)
+    cmp_valid = jnp.arange(C_cmp, dtype=jnp.int32) < num_cmp
+    O_cmp = _masked_single_query_attention(Q[:, 0], k_cmp, v_cmp, cmp_valid, scale)
+
+    out, gates = combine_branches(
+        params, cfg, Q, O_cmp[:, None], O_sel[:, None], O_win[:, None]
+    )
+
+    new_cache = NSACache(
+        k_sel=k_sel, v_sel=v_sel, k_win=k_win, v_win=v_win,
+        k_cmp_raw=k_cmp_raw, v_cmp_raw=v_cmp_raw, k_cmp=k_cmp, v_cmp=v_cmp,
+        t=t + 1,
+    )
+    reads_win = jnp.minimum(cfg.w, s_raw)
+    info = DecodeInfo(
+        reads_pred=num_cmp + cfg.n_sel * cfg.l_sel + reads_win,
+        reads_cmp=num_cmp,
+        reads_sel=jnp.asarray(cfg.n_sel * cfg.l_sel, jnp.int32),
+        reads_win=reads_win,
+        sel_valid_tokens=sel_valid.sum(axis=(-1, -2)).mean(),
+        sel_idx=sel_idx,
+        gates=gates,
+    )
+    return out, new_cache, info

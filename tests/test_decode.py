@@ -1,0 +1,138 @@
+"""Decode path: counters, emission schedule parity, prefill-vs-decode
+output equivalence, cache seeding (reference test_decode_step.py coverage,
+with explicit-mask oracles instead of the SDPA quirk)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsa_vibe_tpu.core.cache import cache_from_prefill, init_cache
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.core.decode import nsa_decode_step
+from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+from nsa_vibe_tpu.ops.block_index import expected_decode_reads
+
+CFG = NSAConfig(
+    dim=64, n_heads=4, n_kv_groups=2, d_k=16, d_v=16,
+    l=8, d=4, l_sel=8, n_sel=3, w=16,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_nsa_params(jax.random.PRNGKey(0), CFG)
+    S = 48
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, S, CFG.dim), jnp.float32)
+    return params, x
+
+
+def _decode_all(params, x, cfg, capacity):
+    """Decode every token of x from an empty cache; return stacked outputs,
+    final cache, per-step infos."""
+    B, S, _ = x.shape
+    cache = init_cache(cfg, B, capacity)
+    step = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, cfg))
+    outs, infos = [], []
+    for tt in range(S):
+        out, cache, info = step(params, x[:, tt : tt + 1], cache)
+        outs.append(out)
+        infos.append(info)
+    return jnp.concatenate(outs, axis=1), cache, infos
+
+
+def test_decode_read_counters_match_formula(setup):
+    params, x = setup
+    _, _, infos = _decode_all(params, x[:, :24], CFG, 64)
+    for tt, info in enumerate(infos):
+        s_raw = tt + 1
+        want = expected_decode_reads(s_raw, CFG.l, CFG.d, CFG.l_sel, CFG.n_sel, CFG.w)
+        assert int(info.reads_pred) == want, (tt, int(info.reads_pred), want)
+        assert int(info.reads_sel) == CFG.n_sel * CFG.l_sel
+        assert int(info.reads_win) == min(CFG.w, s_raw)
+
+
+def test_decode_emission_schedule_matches_prefill(setup):
+    # after decoding S tokens the compressed stream must equal the prefill
+    # pooling of the same tokens (reference emission-parity test,
+    # test_decode_step.py:227-278)
+    params, x = setup
+    S = 40
+    _, cache, _ = _decode_all(params, x[:, :S], CFG, 64)
+    _, aux = nsa_prefill(params, x[:, :S], CFG)
+    n_cmp = aux["K_cmp"].shape[2]
+    assert n_cmp == (S - CFG.l) // CFG.d + 1
+    np.testing.assert_allclose(
+        np.asarray(cache.k_cmp[:, :, :n_cmp]), np.asarray(aux["K_cmp"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cache.v_cmp[:, :, :n_cmp]), np.asarray(aux["V_cmp"]), atol=1e-5
+    )
+    # nothing written past the emitted count
+    assert float(jnp.abs(cache.k_cmp[:, :, n_cmp:]).max()) == 0.0
+
+
+def test_decode_matches_prefill_outputs(setup):
+    # token-by-token decode must reproduce batched prefill outputs exactly
+    # (same math, explicit masks — no loosened tolerance needed)
+    params, x = setup
+    S = 48
+    dec_out, _, _ = _decode_all(params, x[:, :S], CFG, 64)
+    pre_out, _ = nsa_prefill(params, x[:, :S], CFG)
+    np.testing.assert_allclose(
+        np.asarray(dec_out), np.asarray(pre_out), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_decode_selection_matches_prefill_selection(setup):
+    params, x = setup
+    S = 32
+    _, _, infos = _decode_all(params, x[:, :S], CFG, 64)
+    _, aux = nsa_prefill(params, x[:, :S], CFG)
+    sel_pre = np.asarray(aux["sel_idx"])  # [B,S,G,n]
+    for tt, info in enumerate(infos):
+        sel_dec = np.asarray(info.sel_idx)[:, 0]  # [B,G,n]
+        np.testing.assert_array_equal(sel_dec, sel_pre[:, tt], err_msg=f"t={tt}")
+
+
+def test_cache_from_prefill_seeds_decode(setup):
+    # prefill S0 tokens, seed cache, decode the rest; compare against
+    # decoding everything from scratch
+    params, x = setup
+    S0, S = 24, 40
+    _, aux = nsa_prefill(params, x[:, :S0], CFG)
+    cache = cache_from_prefill(CFG, aux, 64)
+    assert int(cache.t) == S0
+    step = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, CFG))
+    outs = []
+    for tt in range(S0, S):
+        out, cache, _ = step(params, x[:, tt : tt + 1], cache)
+        outs.append(out)
+    seeded = jnp.concatenate(outs, axis=1)
+    scratch, _, _ = _decode_all(params, x[:, :S], CFG, 64)
+    np.testing.assert_allclose(
+        np.asarray(seeded), np.asarray(scratch[:, S0:]), atol=2e-5, rtol=1e-4
+    )
+
+
+def test_decode_gates_sum_to_one(setup):
+    params, x = setup
+    _, _, infos = _decode_all(params, x[:, :8], CFG, 64)
+    for info in infos:
+        np.testing.assert_allclose(np.asarray(info.gates.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_decode_window_ring_wraps():
+    # capacity tight to the window: decode past w and ensure outputs stay
+    # finite and the win branch only sees the last w tokens
+    cfg = CFG.replace(force_branch="win")
+    params = init_nsa_params(jax.random.PRNGKey(2), cfg)
+    S = 36  # > w = 16
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, S, cfg.dim), jnp.float32)
+    dec_out, _, _ = _decode_all(params, x, cfg, 64)
+    assert np.isfinite(np.asarray(dec_out)).all()
+    # oracle: win-forced prefill
+    pre_out, _ = nsa_prefill(params, x, cfg)
+    np.testing.assert_allclose(
+        np.asarray(dec_out), np.asarray(pre_out), atol=2e-5, rtol=1e-4
+    )
