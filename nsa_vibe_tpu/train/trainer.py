@@ -1,0 +1,254 @@
+"""Showcase trainer CLI: byte-LM training with the full ops contract.
+
+Reference: scripts/train_showcase.py (1539 LoC DDP trainer) and
+train_showcase_fsdp.py — reproduced the SPMD way:
+  * YAML config + CLI overrides (replaces OmegaConf + 70 env flags);
+  * mesh-sharded train step (replaces DDP/FSDP wrapping + comm hooks);
+  * heartbeat jsonl + training.csv/val.csv + gate-health stats;
+  * `.HALT` polling each step (watchdog-driven halt-and-resume);
+  * coherent NaN abort: `good` flag computed on replicated values, N
+    consecutive bad steps -> anomaly halt;
+  * periodic + final Orbax checkpoints incl. optimizer state; --resume.
+
+Run:  python -m nsa_vibe_tpu.train.trainer --config configs/train_showcase.yaml
+      python -m nsa_vibe_tpu.train.trainer --steps 50 --data synthetic
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig, TrainConfig
+from nsa_vibe_tpu.models.tinylm import init_model_params
+from nsa_vibe_tpu.parallel.mesh import make_mesh
+from nsa_vibe_tpu.parallel.train_step import (
+    build_state_and_step,
+    make_eval_step,
+    make_optimizer,  # noqa: F401  (re-exported for tools)
+)
+from nsa_vibe_tpu.train.data import Shard, make_batches
+from nsa_vibe_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_checkpoint
+from nsa_vibe_tpu.utils.heartbeat import Heartbeat
+
+
+def load_config(path: Optional[str]) -> tuple[ModelConfig, TrainConfig, str]:
+    """YAML with optional model/nsa/train groups; returns (mcfg, tcfg, data)."""
+    raw: dict = {}
+    if path:
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    nsa = NSAConfig(**raw.get("nsa", {}))
+    model_kw = dict(raw.get("model", {}))
+    data = model_kw.pop("data", raw.get("data", "synthetic"))
+    mcfg = ModelConfig(nsa=nsa, **model_kw)
+    tcfg = TrainConfig(**raw.get("train", {}))
+    return mcfg, tcfg, data
+
+
+def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelConfig, TrainConfig]:
+    t_over = {
+        k: getattr(args, k)
+        for k in ("steps", "batch_size", "seq_len", "accum_steps", "lr", "seed",
+                  "save_every", "eval_every", "log_every", "out_dir", "dp", "tp")
+        if getattr(args, k, None) is not None
+    }
+    if t_over:
+        tcfg = dataclasses.replace(tcfg, **t_over)
+    m_over = {}
+    if args.n_layers is not None:
+        m_over["n_layers"] = args.n_layers
+    if args.remat:
+        m_over["remat"] = True
+    if args.dtype is not None:
+        m_over["dtype"] = args.dtype
+    if m_over:
+        mcfg = dataclasses.replace(mcfg, **m_over)
+    return mcfg, tcfg
+
+
+def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
+          resume: bool = False, watchdog_in_process: bool = False) -> dict:
+    """Run training; returns summary dict (final loss, toks/s, steps done)."""
+    run_dir = tcfg.out_dir
+    os.makedirs(run_dir, exist_ok=True)
+    rank = jax.process_index()
+    n_proc = jax.process_count()
+
+    # environment snapshot (reference env.json, train_showcase.py:131-164)
+    if rank == 0:
+        with open(os.path.join(run_dir, "env.json"), "w") as f:
+            json.dump({
+                "jax": jax.__version__,
+                "devices": [str(d) for d in jax.devices()],
+                "process_count": n_proc,
+                "model": dataclasses.asdict(mcfg),
+                "train": dataclasses.asdict(tcfg),
+                "data": data_source,
+            }, f, indent=2, default=str)
+
+    n_dev = len(jax.devices())
+    tp = tcfg.tp
+    mesh = make_mesh(tp=tp) if n_dev > 1 else None
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    dtype = jnp.dtype(mcfg.dtype)
+    params = init_model_params(key, mcfg, dtype)
+    step_fn, state, batch_shard = build_state_and_step(params, mcfg, tcfg, mesh)
+    eval_fn = jax.jit(make_eval_step(mcfg))
+
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    start_step = 0
+    if resume and latest_step(ckpt_dir) is not None:
+        state = restore_checkpoint(ckpt_dir, state)
+        start_step = int(state.step)
+        print(f"[trainer] resumed from step {start_step}", flush=True)
+
+    batches = make_batches(
+        data_source, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
+        shard=Shard(n_proc, rank), seed=tcfg.seed,
+    )
+
+    hb = Heartbeat(os.path.join(run_dir, "heartbeat.jsonl"), rank)
+    csv_path = os.path.join(run_dir, "training.csv")
+    val_path = os.path.join(run_dir, "val.csv")
+    new_csv = not (resume and os.path.exists(csv_path))
+    csv_f = open(csv_path, "w" if new_csv else "a", newline="")
+    csv_w = csv.writer(csv_f)
+    if new_csv:
+        csv_w.writerow(["step", "loss", "toks_per_s", "grad_norm", "gate_entropy",
+                        "gate_max", "gate_collapse_frac", "share_cmp", "share_sel",
+                        "share_win", "bad_steps"])
+
+    if watchdog_in_process:
+        import threading
+
+        from nsa_vibe_tpu.utils.watchdog import watch
+
+        threading.Thread(target=watch, args=(run_dir,), daemon=True).start()
+
+    halt_path = os.path.join(run_dir, ".HALT")
+    bad_streak = 0
+    total_bad = 0
+    tokens_per_step = tcfg.accum_steps * tcfg.batch_size * tcfg.seq_len * n_proc
+    last_loss = float("nan")
+    t_start = time.perf_counter()
+    step = start_step
+    summary_toks = 0.0
+
+    for step in range(start_step, tcfg.steps):
+        if os.path.exists(halt_path):
+            print(f"[trainer] .HALT detected at step {step}; exiting gracefully", flush=True)
+            break
+        batch_np = next(batches).reshape(tcfg.accum_steps, tcfg.batch_size, tcfg.seq_len + 1)
+        batch = jnp.asarray(batch_np)
+        if batch_shard is not None:
+            batch = jax.device_put(batch, batch_shard)
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, batch)
+        loss = float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        toks_per_s = tokens_per_step / dt
+        summary_toks = toks_per_s
+        last_loss = loss
+
+        good = bool(metrics["good"])
+        if not good:
+            bad_streak += 1
+            total_bad += 1
+            if bad_streak >= 3:
+                with open(os.path.join(run_dir, ".anomaly_type"), "w") as f:
+                    f.write("nan_loss\n")
+                with open(halt_path, "w") as f:
+                    f.write("coherent NaN abort\n")
+                print(f"[trainer] NaN abort at step {step}", flush=True)
+                break
+        else:
+            bad_streak = 0
+
+        if (step + 1) % tcfg.log_every == 0 or step == start_step:
+            shares = np.asarray(metrics["branch_shares"])
+            row = [step + 1, f"{loss:.6f}", f"{toks_per_s:.1f}",
+                   f"{float(metrics['grad_norm']):.4f}",
+                   f"{float(metrics['gate_entropy']):.4f}",
+                   f"{float(metrics['gate_max']):.4f}",
+                   f"{float(metrics['gate_collapse_frac']):.4f}",
+                   f"{shares[0]:.4f}", f"{shares[1]:.4f}", f"{shares[2]:.4f}",
+                   total_bad]
+            csv_w.writerow(row)
+            csv_f.flush()
+            hb.beat(step + 1, loss=loss, toks_per_s=toks_per_s,
+                    grad_norm=float(metrics["grad_norm"]),
+                    gate_entropy=float(metrics["gate_entropy"]),
+                    gate_max=float(metrics["gate_max"]),
+                    gate_collapse_frac=float(metrics["gate_collapse_frac"]))
+            print(f"[trainer] step {step+1} loss {loss:.4f} {toks_per_s:.0f} toks/s",
+                  flush=True)
+
+        if tcfg.eval_every and (step + 1) % tcfg.eval_every == 0:
+            vb = next(batches)[: tcfg.batch_size]
+            vl = float(eval_fn(state.params, jnp.asarray(vb)))
+            with open(val_path, "a", newline="") as vf:
+                csv.writer(vf).writerow([step + 1, f"{vl:.6f}", f"{np.exp(vl):.4f}"])
+
+        if tcfg.save_every and (step + 1) % tcfg.save_every == 0 and rank == 0:
+            save_checkpoint(ckpt_dir, step + 1, state)
+
+    if rank == 0:
+        save_checkpoint(ckpt_dir, int(state.step), state)
+    csv_f.close()
+    wall = time.perf_counter() - t_start
+    return {
+        "final_loss": last_loss,
+        "steps": int(state.step),
+        "toks_per_s": summary_toks,
+        "wall_s": wall,
+        "bad_steps": total_bad,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="NSA TPU showcase trainer")
+    ap.add_argument("--config", default=None)
+    ap.add_argument("--data", default=None, help="synthetic | path.jsonl | fineweb[:name]")
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--batch-size", dest="batch_size", type=int, default=None)
+    ap.add_argument("--seq-len", dest="seq_len", type=int, default=None)
+    ap.add_argument("--accum-steps", dest="accum_steps", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--n-layers", dest="n_layers", type=int, default=None)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--dtype", default=None)
+    ap.add_argument("--save-every", dest="save_every", type=int, default=None)
+    ap.add_argument("--eval-every", dest="eval_every", type=int, default=None)
+    ap.add_argument("--log-every", dest="log_every", type=int, default=None)
+    ap.add_argument("--out-dir", dest="out_dir", default=None)
+    ap.add_argument("--dp", type=int, default=None)
+    ap.add_argument("--tp", type=int, default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--watchdog", action="store_true", help="in-process watchdog thread")
+    args = ap.parse_args()
+
+    mcfg, tcfg, data = load_config(args.config)
+    mcfg, tcfg = apply_overrides(mcfg, tcfg, args)
+    if args.data is not None:
+        data = args.data
+    summary = train(mcfg, tcfg, data, resume=args.resume,
+                    watchdog_in_process=args.watchdog)
+    print(json.dumps({"summary": summary}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
