@@ -1,0 +1,76 @@
+"""Training throughput benchmark: m7c 125M-class model, tokens/sec/chip.
+
+Reference baselines (BASELINE.md, A100 80GB):
+  9,200 toks/s  (S=2048, bs=1, grad-ckpt on)
+  16,000 toks/s (bs=1, grad-ckpt off)
+  23,100 toks/s (bs=16, optimal)
+
+Run: python bench/bench_train.py [--batch 8] [--seq 2048] [--steps 8] [--remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--kernel", default="auto")
+    args = ap.parse_args()
+
+    from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig, TrainConfig
+    from nsa_vibe_tpu.models.tinylm import init_model_params
+    from nsa_vibe_tpu.parallel.train_step import build_state_and_step
+
+    nsa = NSAConfig(dim=768, n_heads=12, n_kv_groups=2, d_k=64, d_v=64,
+                    l=32, d=16, l_sel=64, n_sel=16, w=512, kernel=args.kernel)
+    mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=nsa,
+                       dtype="bfloat16", remat=args.remat)
+    tcfg = TrainConfig(steps=args.steps, batch_size=args.batch, seq_len=args.seq)
+
+    params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.bfloat16)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+    step_fn, state, _ = build_state_and_step(params, mcfg, tcfg, mesh=None)
+
+    rng = np.random.default_rng(0)
+    batch = jnp.asarray(rng.integers(0, 256, (1, args.batch, args.seq + 1)), jnp.int32)
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / args.steps
+    toks = args.batch * args.seq / dt
+
+    print(json.dumps({
+        "metric": "train_toks_per_s",
+        "value": round(toks, 1),
+        "unit": "tokens/s/chip",
+        "params_m": round(n_params / 1e6, 1),
+        "batch": args.batch, "seq": args.seq, "remat": args.remat,
+        "kernel": args.kernel,
+        "step_ms": round(dt * 1e3, 2),
+        "compile_s": round(compile_s, 1),
+        "loss": round(float(metrics["loss"]), 4),
+        "vs_baseline": round(toks / 23100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

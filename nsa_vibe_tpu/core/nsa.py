@@ -20,7 +20,7 @@ import numpy as np
 
 from nsa_vibe_tpu.core.config import NSAConfig
 from nsa_vibe_tpu.core.gate import gate_probs, init_gate_params
-from nsa_vibe_tpu.ops import reference as ref_ops
+from nsa_vibe_tpu.ops import attention as attn_ops
 from nsa_vibe_tpu.ops.block_index import BlockMeta, build_block_meta, num_cmp_blocks
 from nsa_vibe_tpu.ops.compress import init_conv_phi_weight, pool_phi_rope_kv
 from nsa_vibe_tpu.ops.rope import apply_rope
@@ -131,18 +131,41 @@ def nsa_prefill(
     )
     num_cmp_t = jnp.minimum(num_cmp_t, S_cmp)
 
-    # Eq. 8-12 selection
+    # Eq. 8-12 selection. For long sequences the p_cmp/p_slc tensors are
+    # O(S * S_cmp); chunk the scoring pipeline over query chunks
+    # (reference docs/NSA_CHUNKED_SELECTION_SPEC.md) so peak memory is
+    # O(prefill_chunk * S_cmp) while sel_idx stays [B,S,G,n].
     M = jnp.asarray(meta.M_csl[:S_cmp])
-    p_grp = selection_scores(Q, K_cmp, M, scale, num_cmp_t)          # [B,S,G,S_sel]
-    sel_idx = select_topn_blocks(
-        p_grp, cfg.n_sel, t_pos, cfg.l_sel, cfg.force_init, cfg.force_local
-    )                                                                 # [B,S,G,n]
+
+    def score_and_select(q_c, t_c, nct_c):
+        p_grp = selection_scores(q_c, K_cmp, M, scale, nct_c)        # [B,c,G,S_sel]
+        return select_topn_blocks(
+            p_grp, cfg.n_sel, t_c, cfg.l_sel, cfg.force_init, cfg.force_local
+        )
+
+    chunk = cfg.prefill_chunk
+    if chunk > 0 and S > chunk and S % chunk == 0:
+        nchunk = S // chunk
+        Qc = Q.reshape(B, nchunk, chunk, G, h, cfg.d_k).transpose(1, 0, 2, 3, 4, 5)
+        tc = t_pos.reshape(nchunk, chunk)
+        nctc = num_cmp_t.reshape(nchunk, chunk)
+        sel_idx = jax.lax.map(lambda a: score_and_select(*a), (Qc, tc, nctc))
+        sel_idx = sel_idx.transpose(1, 0, 2, 3, 4).reshape(B, S, G, cfg.n_sel)
+    else:
+        sel_idx = score_and_select(Q, t_pos, num_cmp_t)              # [B,S,G,n]
     sel_idx = jax.lax.stop_gradient(sel_idx)
 
-    # three branches
-    O_cmp = ref_ops.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
-    O_sel = ref_ops.selection_attention(Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale)
-    O_win = ref_ops.sliding_window_attention(Q, K_win, V_win, t_pos, cfg.w, scale)
+    # three branches (Pallas on TPU, jnp reference oracle per cfg.kernel)
+    O_cmp = attn_ops.compressed_attention(
+        Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel
+    )
+    O_sel = attn_ops.selection_attention(
+        Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,
+        pos_offset=pos_offset,
+    )
+    O_win = attn_ops.sliding_window_attention(
+        Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel
+    )
 
     out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
     aux = {

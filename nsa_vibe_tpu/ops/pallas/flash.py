@@ -1,0 +1,214 @@
+"""Banded / prefix flash attention Pallas kernel (cmp + win branches).
+
+One kernel replaces the reference's FA-2 wrappers + masked SDPA for the
+sliding-window and compressed branches (nsa/core/attention_kernels.py:
+106-178, 799-1402). Per-row key visibility is *closed-form*:
+
+  mode "win":  row t sees raw keys  [t - w + 1, t]          (banded)
+  mode "cmp":  row t sees cmp keys  [0, num_cmp(t+1))       (growing prefix)
+               num_cmp(s) = (s - l)//d + 1 for s >= l else 0
+
+so masks and tile bounds are computed inside the kernel from grid indices
+— no mask tensors, no variable-length bucketing (the reference's varlen
+packer becomes arithmetic). Online softmax with f32 scratch accumulators;
+KV tiles outside a q-tile's band are skipped (index clamped so no fresh
+DMA is issued for skipped steps).
+
+Layouts: Q [B, G, h, S, Dk] is processed as (Tq*h)-row tiles sharing each
+K tile (GQA: all heads in a group share K/V). K/V: [B, G, S_kv, D*].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(np.finfo(np.float32).min)
+
+
+def _bounds_fn(mode: str, w: int, l: int, d: int):
+    """Returns row_bounds(t) -> (lo, hi) as traced int32 arithmetic."""
+    if mode == "win":
+        def bounds(t):
+            return jnp.maximum(t - w + 1, 0), t + 1
+    elif mode == "cmp":
+        def bounds(t):
+            s = t + 1
+            hi = jnp.where(s >= l, (s - l) // d + 1, 0)
+            return jnp.zeros_like(t), hi
+    else:
+        raise ValueError(mode)
+    return bounds
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, mode: str, w: int, l: int, d: int, scale: float,
+    block_q: int, block_k: int, h: int, nk_grid: int, s_kv: int,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    bounds = _bounds_fn(mode, w, l, d)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # this q-tile's kv-tile band (same formulas as the index_map)
+    t_first = qi * block_q
+    t_last = t_first + block_q - 1
+    lo_first, _ = bounds(t_first)
+    _, hi_last = bounds(t_last)
+    kt_lo = lo_first // block_k
+    n_live = pl.cdiv(jnp.maximum(hi_last - kt_lo * block_k, 0), block_k)
+
+    @pl.when(ki < n_live)
+    def _compute():
+        q = q_ref[0, :, 0]                                # [Tq, h, Dk]
+        Tq, Dk = q.shape[0], q.shape[2]
+        qf = q.reshape(Tq * h, Dk)                        # rows t-major, head-minor
+        k = k_ref[0, 0]                                   # [Tk, Dk]
+        logits = jax.lax.dot_general(
+            qf, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                         # [Tq*h, Tk]
+
+        kt = kt_lo + ki
+        kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        tpos = t_first + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        lo_r, hi_r = bounds(tpos)                         # [Tq,1]
+        mask = (kpos >= lo_r) & (kpos < hi_r)             # [Tq, Tk]
+        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, block_k)).reshape(
+            block_q * h, block_k
+        )
+        logits = jnp.where(mask, logits, NEG_INF)
+
+        m_prev = m_scr[:]                                 # [h*Tq, 1]
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)                       # masked rows -> exp(NEG_INF)≈0
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+        v = v_ref[0, 0]                                   # [Tk, Dv]
+        # zero OOB-padded rows: padding memory can be NaN/garbage and
+        # 0 * NaN = NaN would poison the P·V matmul
+        krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        v = jnp.where(krow < s_kv, v, 0)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = m_new
+
+    @pl.when(ki == nk_grid - 1)
+    def _finalize():
+        denom = l_scr[:]
+        out = acc_scr[:] / jnp.where(denom > 0, denom, 1.0)
+        out = jnp.where(denom > 0, out, 0.0)
+        Tq = o_ref.shape[1]
+        Dv = o_ref.shape[4]
+        o_ref[0, :, 0] = out.reshape(Tq, h, Dv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_banded(
+    Q: jnp.ndarray,           # [B, S, G, h, Dk]  (native module layout)
+    K: jnp.ndarray,           # [B, G, S_kv, Dk]
+    V: jnp.ndarray,           # [B, G, S_kv, Dv]
+    *,
+    mode: str,                # "win" | "cmp"
+    w: int = 0,
+    l: int = 0,
+    d: int = 1,
+    scale: float = 1.0,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Banded/prefix flash attention. Returns O [B, S, G, h, Dv].
+
+    Consumes Q in the module's native [B,S,G,h,Dk] layout via BlockSpec
+    indexing — no transposes (a materialized relayout of Q/O costs more
+    than the whole kernel at paper scales)."""
+    B, S, G, h, Dk = Q.shape
+    S_kv, Dv = K.shape[2], V.shape[3]
+    block_q = min(block_q, max(S, 8))
+    block_k = min(block_k, max(S_kv, 8))
+
+    nq = pl.cdiv(S, block_q)
+    if mode == "win":
+        nk = min(pl.cdiv(block_q - 1 + w, block_k) + 1, pl.cdiv(S_kv, block_k))
+    else:
+        nk = pl.cdiv(S_kv, block_k)
+
+    bounds = _bounds_fn(mode, w, l, d)
+
+    def k_index(b, g, qi, ki):
+        t_first = qi * block_q
+        t_last = t_first + block_q - 1
+        lo_first, _ = bounds(t_first)
+        _, hi_last = bounds(t_last)
+        kt_lo = lo_first // block_k
+        n_live = pl.cdiv(jnp.maximum(hi_last - kt_lo * block_k, 0), block_k)
+        kt = kt_lo + jnp.minimum(ki, jnp.maximum(n_live - 1, 0))
+        kt = jnp.clip(kt, 0, pl.cdiv(S_kv, block_k) - 1)
+        return (b, g, kt, 0)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        mode=mode, w=w, l=l, d=d, scale=scale,
+        block_q=block_q, block_k=block_k, h=h, nk_grid=nk, s_kv=S_kv,
+    )
+    grid = (B, G, nq, nk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, h, Dk), lambda b, g, qi, ki: (b, qi, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 1, h, Dv), lambda b, g, qi, ki: (b, qi, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h * block_q, 1), jnp.float32),
+            pltpu.VMEM((h * block_q, 1), jnp.float32),
+            pltpu.VMEM((h * block_q, Dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Q, K, V)
+
+
+def sliding_window_attention_pallas(
+    Q: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray, w: int, scale: float,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Q [B,S,G,h,Dk] -> O [B,S,G,h,Dv] (wrapper matching ops.reference)."""
+    return flash_banded(Q, K, V, mode="win", w=w, scale=scale, interpret=interpret)
+
+
+def compressed_attention_pallas(
+    Q: jnp.ndarray, K_cmp: jnp.ndarray, V_cmp: jnp.ndarray,
+    l: int, d: int, scale: float, interpret: bool = False,
+) -> jnp.ndarray:
+    """Q [B,S,G,h,Dk] -> O [B,S,G,h,Dv]; rows with no visible cmp tokens
+    (t+1 < l) return zeros, matching ops.reference.compressed_attention."""
+    return flash_banded(Q, K_cmp, V_cmp, mode="cmp", l=l, d=d, scale=scale,
+                        interpret=interpret)
