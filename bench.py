@@ -38,13 +38,15 @@ def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
     step = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, cfg), donate_argnums=(2,))
     x_tok = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.dim), jnp.bfloat16)
 
+    # force scalar host fetches: on the remote (axon) platform
+    # block_until_ready can return before execution completes
     for _ in range(warmup):
         out, cache, _ = step(params, x_tok, cache)
-    out.block_until_ready()
+    _ = float(out[0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out, cache, _ = step(params, x_tok, cache)
-    out.block_until_ready()
+    _ = float(out[0, 0, 0])  # depends on the full cache chain
     dt = time.perf_counter() - t0
     return dt / iters * 1e3  # ms/step
 

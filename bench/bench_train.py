@@ -46,15 +46,18 @@ def main() -> None:
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(0, 256, (1, args.batch, args.seq + 1)), jnp.int32)
 
+    # NOTE: on the remote (axon) platform block_until_ready can return
+    # before execution completes — force a scalar host fetch to time
+    # honestly.
     t0 = time.perf_counter()
     state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    _ = float(jax.tree_util.tree_leaves(state.params)[0][0, 0])  # full-chain sync
     dt = (time.perf_counter() - t0) / args.steps
     toks = args.batch * args.seq / dt
 

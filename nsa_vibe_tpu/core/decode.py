@@ -89,7 +89,7 @@ def nsa_decode_step(
 
     Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(params, x, cfg)
     pos = t[None]
-    Q = apply_rope(Q.reshape(B, 1, -1), pos, cfg.rope_base, cfg.rope_scale)
+    Q = apply_rope(Q, pos[:, None], cfg.rope_base, cfg.rope_scale)  # per-head
     Q = Q.reshape(B, 1, G, h, cfg.d_k)
     K_sel = apply_rope(K_sel, pos, cfg.rope_base, cfg.rope_scale)
     K_win = apply_rope(K_win, pos, cfg.rope_base, cfg.rope_scale)

@@ -21,6 +21,7 @@ import numpy as np
 from nsa_vibe_tpu.core.config import NSAConfig
 from nsa_vibe_tpu.core.gate import gate_probs, init_gate_params
 from nsa_vibe_tpu.ops import attention as attn_ops
+from nsa_vibe_tpu.ops.attention import resolve_kernel as _resolve_kernel
 from nsa_vibe_tpu.ops.block_index import BlockMeta, build_block_meta, num_cmp_blocks
 from nsa_vibe_tpu.ops.compress import init_conv_phi_weight, pool_phi_rope_kv
 from nsa_vibe_tpu.ops.rope import apply_rope
@@ -112,7 +113,11 @@ def nsa_prefill(
     t_pos = jnp.arange(pos_offset, pos_offset + S, dtype=jnp.int32)
 
     Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(params, x, cfg)
-    Q = apply_rope(Q.reshape(B, S, -1), t_pos, cfg.rope_base, cfg.rope_scale)
+    # per-head RoPE (pos broadcast over the head axis). Note: the reference
+    # ropes the *flattened* [S, H*Dk] query (nsa_attention.py:552), giving
+    # each head a different frequency band than its K — we deliberately use
+    # the correct per-head rotation instead.
+    Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
     Q = Q.reshape(B, S, G, h, cfg.d_k)
     K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
     K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
@@ -131,28 +136,45 @@ def nsa_prefill(
     )
     num_cmp_t = jnp.minimum(num_cmp_t, S_cmp)
 
-    # Eq. 8-12 selection. For long sequences the p_cmp/p_slc tensors are
-    # O(S * S_cmp); chunk the scoring pipeline over query chunks
-    # (reference docs/NSA_CHUNKED_SELECTION_SPEC.md) so peak memory is
-    # O(prefill_chunk * S_cmp) while sel_idx stays [B,S,G,n].
+    # Eq. 8-12 selection. Pallas path: one fused scorer kernel (p_cmp never
+    # hits HBM; iterative deterministic top-n in VMEM) producing the set
+    # representation of selected blocks. XLA path: batched jnp pipeline,
+    # optionally chunked over query chunks (reference
+    # docs/NSA_CHUNKED_SELECTION_SPEC.md) so peak memory is
+    # O(prefill_chunk * S_cmp).
     M = jnp.asarray(meta.M_csl[:S_cmp])
+    impl, interpret = _resolve_kernel(cfg.kernel)
+    # fused scorer needs M + accumulators resident in VMEM
+    scorer_vmem = 4 * (S_cmp * meta.S_sel + 128 * h * meta.S_sel + 512 * cfg.d_k)
+    if impl == "pallas" and scorer_vmem < 8 * 2**20:
+        from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
 
-    def score_and_select(q_c, t_c, nct_c):
-        p_grp = selection_scores(q_c, K_cmp, M, scale, nct_c)        # [B,c,G,S_sel]
-        return select_topn_blocks(
-            p_grp, cfg.n_sel, t_c, cfg.l_sel, cfg.force_init, cfg.force_local
+        # selection is gradient-free (top-k kills grads); stop_gradient on
+        # the *inputs* keeps the kernel off every JVP trace path
+        sel_idx = nsa_select_pallas(
+            jax.lax.stop_gradient(Q), jax.lax.stop_gradient(K_cmp), M,
+            scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
+            n_top=cfg.n_sel, force_init=cfg.force_init,
+            force_local=cfg.force_local, pos_offset=pos_offset,
+            interpret=interpret,
         )
-
-    chunk = cfg.prefill_chunk
-    if chunk > 0 and S > chunk and S % chunk == 0:
-        nchunk = S // chunk
-        Qc = Q.reshape(B, nchunk, chunk, G, h, cfg.d_k).transpose(1, 0, 2, 3, 4, 5)
-        tc = t_pos.reshape(nchunk, chunk)
-        nctc = num_cmp_t.reshape(nchunk, chunk)
-        sel_idx = jax.lax.map(lambda a: score_and_select(*a), (Qc, tc, nctc))
-        sel_idx = sel_idx.transpose(1, 0, 2, 3, 4).reshape(B, S, G, cfg.n_sel)
     else:
-        sel_idx = score_and_select(Q, t_pos, num_cmp_t)              # [B,S,G,n]
+        def score_and_select(q_c, t_c, nct_c):
+            p_grp = selection_scores(q_c, K_cmp, M, scale, nct_c)    # [B,c,G,S_sel]
+            return select_topn_blocks(
+                p_grp, cfg.n_sel, t_c, cfg.l_sel, cfg.force_init, cfg.force_local
+            )
+
+        chunk = cfg.prefill_chunk
+        if chunk > 0 and S > chunk and S % chunk == 0:
+            nchunk = S // chunk
+            Qc = Q.reshape(B, nchunk, chunk, G, h, cfg.d_k).transpose(1, 0, 2, 3, 4, 5)
+            tc = t_pos.reshape(nchunk, chunk)
+            nctc = num_cmp_t.reshape(nchunk, chunk)
+            sel_idx = jax.lax.map(lambda a: score_and_select(*a), (Qc, tc, nctc))
+            sel_idx = sel_idx.transpose(1, 0, 2, 3, 4).reshape(B, S, G, cfg.n_sel)
+        else:
+            sel_idx = score_and_select(Q, t_pos, num_cmp_t)          # [B,S,G,n]
     sel_idx = jax.lax.stop_gradient(sel_idx)
 
     # three branches (Pallas on TPU, jnp reference oracle per cfg.kernel)

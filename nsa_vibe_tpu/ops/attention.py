@@ -27,10 +27,64 @@ import jax.numpy as jnp
 from nsa_vibe_tpu.ops import reference as ref
 from nsa_vibe_tpu.ops.pallas.flash import (
     compressed_attention_pallas,
+    flash_banded,
     sliding_window_attention_pallas,
 )
-from nsa_vibe_tpu.ops.pallas.sel_flash import selection_flash_pallas
+from nsa_vibe_tpu.ops.pallas.flash_bwd import flash_banded_bwd
+from nsa_vibe_tpu.ops.pallas.sel_flash import (
+    selection_flash_bwd,
+    selection_flash_pallas,
+)
 from nsa_vibe_tpu.ops.pallas.selection import selection_attention_pallas
+
+
+def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
+    """rowsum(dO * O) in the row-flat [B, G, S*h, 1] stats layout."""
+    d = jnp.sum(dO.astype(jnp.float32) * O.astype(jnp.float32), axis=-1)  # [B,S,G,h]
+    B, S, G, h = d.shape
+    return d.transpose(0, 2, 1, 3).reshape(B, G, S * h, 1)
+
+
+def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool):
+    """custom_vjp with analytical Pallas forward AND backward (the
+    reference-recompute backward materializes O(S^2) logits — 29 GB at
+    the m7c training shape)."""
+
+    kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(Q, K, V):
+        return flash_banded(Q, K, V, **kw)
+
+    def fwd(Q, K, V):
+        O, lse = flash_banded(Q, K, V, return_lse=True, **kw)
+        return O, (Q, K, V, O, lse)
+
+    def bwd(res, g):
+        Q, K, V, O, lse = res
+        return flash_banded_bwd(Q, K, V, g, lse, _delta(g, O), **kw)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _sel_flash_vjp(sel_idx, l_sel: int, scale: float, pos_offset: int, interpret: bool):
+    kw = dict(l_sel=l_sel, scale=scale, pos_offset=pos_offset, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(Q, K, V):
+        return selection_flash_pallas(Q, K, V, sel_idx, **kw)
+
+    def fwd(Q, K, V):
+        O, lse = selection_flash_pallas(Q, K, V, sel_idx, return_lse=True, **kw)
+        return O, (Q, K, V, O, lse)
+
+    def bwd(res, g):
+        Q, K, V, O, lse = res
+        return selection_flash_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O), **kw)
+
+    f.defvjp(fwd, bwd)
+    return f
 
 
 @functools.lru_cache(maxsize=1)
@@ -75,11 +129,7 @@ def sliding_window_attention(
     impl, interpret = resolve_kernel(kernel)
     if impl == "reference":
         return ref.sliding_window_attention(Q, K, V, t_pos, w, scale)
-    f = _with_ref_vjp(
-        lambda q, k, v: sliding_window_attention_pallas(q, k, v, w, scale, interpret=interpret),
-        lambda q, k, v: ref.sliding_window_attention(q, k, v, t_pos, w, scale),
-    )
-    return f(Q, K, V)
+    return _flash_vjp("win", w, 0, 1, scale, interpret)(Q, K, V)
 
 
 def compressed_attention(
@@ -89,11 +139,7 @@ def compressed_attention(
     impl, interpret = resolve_kernel(kernel)
     if impl == "reference":
         return ref.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
-    f = _with_ref_vjp(
-        lambda q, k, v: compressed_attention_pallas(q, k, v, l, d, scale, interpret=interpret),
-        lambda q, k, v: ref.compressed_attention(q, k, v, num_cmp_t, scale),
-    )
-    return f(Q, K_cmp, V_cmp)
+    return _flash_vjp("cmp", 0, l, d, scale, interpret)(Q, K_cmp, V_cmp)
 
 
 def selection_attention(
@@ -109,16 +155,13 @@ def selection_attention(
     if impl == "reference":
         return ref.selection_attention(Q, K, V, sel_idx, t_pos, l_sel, scale)
     if Q.shape[1] == 1:
-        pallas_fn = lambda q, k, v: selection_attention_pallas(  # noqa: E731
-            q, k, v, sel_idx, t_pos, l_sel=l_sel, scale=scale, interpret=interpret
+        # decode: per-query gather kernel (reads exactly n*l_sel keys);
+        # never trained, so the ref-recompute bwd (cheap at S=1) suffices
+        f = _with_ref_vjp(
+            lambda q, k, v: selection_attention_pallas(
+                q, k, v, sel_idx, t_pos, l_sel=l_sel, scale=scale, interpret=interpret
+            ),
+            lambda q, k, v: ref.selection_attention(q, k, v, sel_idx, t_pos, l_sel, scale),
         )
-    else:
-        pallas_fn = lambda q, k, v: selection_flash_pallas(  # noqa: E731
-            q, k, v, sel_idx, l_sel=l_sel, scale=scale,
-            pos_offset=pos_offset, interpret=interpret,
-        )
-    f = _with_ref_vjp(
-        pallas_fn,
-        lambda q, k, v: ref.selection_attention(q, k, v, sel_idx, t_pos, l_sel, scale),
-    )
-    return f(Q, K, V)
+        return f(Q, K, V)
+    return _sel_flash_vjp(sel_idx, l_sel, scale, pos_offset, interpret)(Q, K, V)

@@ -48,10 +48,15 @@ def _bounds_fn(mode: str, w: int, l: int, d: int):
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, mode: str, w: int, l: int, d: int, scale: float,
+    q_ref, k_ref, v_ref, o_ref, *rest,
+    mode: str, w: int, l: int, d: int, scale: float,
     block_q: int, block_k: int, h: int, nk_grid: int, s_kv: int,
+    return_lse: bool = False,
 ):
+    if return_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -118,11 +123,17 @@ def _flash_kernel(
         Tq = o_ref.shape[1]
         Dv = o_ref.shape[4]
         o_ref[0, :, 0] = out.reshape(Tq, h, Dv).astype(o_ref.dtype)
+        if return_lse:
+            # empty rows get +1e30 so backward's exp(logits - lse) == 0
+            lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
+                            1e30)
+            lse_ref[0, 0] = lse                           # [Tq*h, 1] row-flat
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
+                     "interpret", "return_lse"),
 )
 def flash_banded(
     Q: jnp.ndarray,           # [B, S, G, h, Dk]  (native module layout)
@@ -137,8 +148,10 @@ def flash_banded(
     block_q: int = 128,
     block_k: int = 128,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Banded/prefix flash attention. Returns O [B, S, G, h, Dv].
+    return_lse: bool = False,
+):
+    """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
+    log-sum-exp [B, G, S, h] float32 when return_lse (backward residual).
 
     Consumes Q in the module's native [B,S,G,h,Dk] layout via BlockSpec
     indexing — no transposes (a materialized relayout of Q/O costs more
@@ -171,8 +184,23 @@ def flash_banded(
         _flash_kernel,
         mode=mode, w=w, l=l, d=d, scale=scale,
         block_q=block_q, block_k=block_k, h=h, nk_grid=nk, s_kv=S_kv,
+        return_lse=return_lse,
     )
     grid = (B, G, nq, nk)
+    out_specs = pl.BlockSpec(
+        (1, block_q, 1, h, Dv), lambda b, g, qi, ki: (b, qi, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
+    if return_lse:
+        # row-flat stats layout [B, G, S*h, 1] (row = t*h + head): blocks
+        # read as (Tq*h, 1) with no lane<->sublane reshape (unsupported in
+        # Mosaic)
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, 1, block_q * h, 1), lambda b, g, qi, ki: (b, g, qi, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((B, G, S * h, 1), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -182,11 +210,8 @@ def flash_banded(
             pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, 1, h, Dv), lambda b, g, qi, ki: (b, qi, g, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((h * block_q, 1), jnp.float32),
             pltpu.VMEM((h * block_q, 1), jnp.float32),

@@ -1,0 +1,174 @@
+"""Fused selection-scorer Pallas kernel: Eq. 8-12 in one pass.
+
+The XLA pipeline materializes p_cmp [B,S,G,h,S_cmp] (50 MB at S=2048,
+12.9 TB at 64k) and runs sort-based top-k — measured ~4 ms of a 4.4 ms
+m7c layer. This kernel fuses, per (B, G, q-tile):
+
+  logits = Q K_cmp^T  (chunked over S_cmp, online softmax)
+  p_slc  = softmax(logits) @ M_csl          (Eq. 9, in VMEM)
+  p_grp  = sum_h p_slc                      (Eq. 10)
+  top-n  = forced blocks + k_rest iterative argmax over the composite
+           score (f32 score - 1e-8 * index) — the deterministic
+           tie-break recipe (reference selection_scorer.py:180-187)
+
+and writes only sel_idx [B,S,G,n] int32. Output contract: forced slots
+first (block 0, t//l_sel, t//l_sel-1 — may contain duplicates), then
+scored picks in descending score order, -1 for exhausted rows. This is a
+*set* representation: consumers (selection block-flash / token-mask
+union) are order- and duplicate-insensitive. Use
+ops.selection.canonicalize_sel for the sorted/unique/padded form.
+
+Scoring is selection-only (top-k kills gradients in the reference too),
+so the kernel is wrapped in stop_gradient by the caller.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = float(np.finfo(np.float32).min)
+
+
+def _scorer_kernel(
+    q_ref, kc_ref, m_ref, o_ref,
+    *, scale: float, l: int, d: int, l_sel: int,
+    n_top: int, n_forced: int, force_init: bool, force_local: int,
+    block_q: int, h: int, cmp_chunk: int, s_cmp: int, s_sel: int,
+    pos_offset: int,
+):
+    qt = pl.program_id(2)
+    q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
+    Dk = q.shape[2]
+    qf = q.reshape(block_q * h, Dk)
+    rows = block_q * h
+
+    tpos = (pos_offset + qt * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))  # [Tq,1]
+    s_raw = tpos + 1
+    num_cmp = jnp.where(s_raw >= l, (s_raw - l) // d + 1, 0)          # [Tq,1]
+    num_cmp_r = jnp.broadcast_to(num_cmp[:, None, :], (block_q, h, 1)).reshape(rows, 1)
+
+    # --- online-softmax over S_cmp chunks, accumulating p_slc = p @ M ---
+    m_run = jnp.full((rows, 1), NEG, jnp.float32)
+    l_run = jnp.zeros((rows, 1), jnp.float32)
+    acc = jnp.zeros((rows, s_sel), jnp.float32)
+    n_chunks = pl.cdiv(s_cmp, cmp_chunk)
+    for c in range(n_chunks):
+        k = kc_ref[0, 0, pl.ds(c * cmp_chunk, cmp_chunk), :]          # [C, Dk]
+        logits = jax.lax.dot_general(
+            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                                     # [rows, C]
+        cidx = (c * cmp_chunk
+                + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
+        visible = (cidx < num_cmp_r) & (cidx < s_cmp)                 # [rows, C]
+        logits = jnp.where(visible, logits, NEG)
+        m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
+        p = jnp.where(visible, jnp.exp(logits - m_new), 0.0)
+        alpha = jnp.exp(m_run - m_new)
+        l_run = l_run * alpha + p.sum(axis=-1, keepdims=True)
+        mc = m_ref[pl.ds(c * cmp_chunk, cmp_chunk), :]                # [C, S_sel]
+        acc = acc * alpha + jax.lax.dot_general(
+            p, mc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_run = m_new
+
+    p_slc = acc / jnp.where(l_run > 0, l_run, 1.0)
+    p_slc = jnp.where(l_run > 0, p_slc, 0.0)                          # rows w/o cmp tokens
+    p_grp = p_slc.reshape(block_q, h, s_sel).sum(axis=1)              # Eq. 10 [Tq, S_sel]
+
+    # --- deterministic top-n with forced blocks (Eq. 11-12) ---
+    blk = jax.lax.broadcasted_iota(jnp.int32, (1, s_sel), 1)          # [1, S_sel]
+    valid = (blk * l_sel) <= tpos                                     # [Tq, S_sel]
+    scores = jnp.where(valid, p_grp, NEG)
+    last_blk = tpos // l_sel                                          # [Tq,1]
+    forced_cols = []
+    if force_init:
+        forced_cols.append(jnp.zeros_like(last_blk))
+    for i in range(force_local):
+        forced_cols.append(jnp.maximum(last_blk - i, 0))
+    fmask = jnp.zeros((block_q, s_sel), jnp.bool_)
+    for fc in forced_cols:
+        fmask = fmask | (blk == fc)
+    scores = jnp.where(fmask, NEG, scores)
+    composite = scores - blk.astype(jnp.float32) * 1e-8
+
+    picks = [jnp.broadcast_to(fc, (block_q, 1)) for fc in forced_cols]
+    k_rest = n_top - n_forced
+    lane = blk                                                        # [1, S_sel]
+    for _ in range(k_rest):
+        mx = jnp.argmax(composite, axis=-1).astype(jnp.int32)         # [Tq]
+        val = jnp.max(composite, axis=-1)
+        pick = jnp.where(val > NEG / 2, mx, -1)
+        picks.append(pick[:, None])
+        composite = jnp.where(lane == mx[:, None], NEG, composite)
+    o_ref[0, 0] = jnp.concatenate(picks, axis=-1)                     # [Tq, n_top]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "l", "d", "l_sel", "n_top", "force_init",
+                     "force_local", "pos_offset", "block_q", "cmp_chunk",
+                     "interpret"),
+)
+def nsa_select_pallas(
+    Q: jnp.ndarray,        # [B, S, G, h, Dk]  (RoPE'd)
+    K_cmp: jnp.ndarray,    # [B, G, S_cmp, Dk]
+    M_csl: jnp.ndarray,    # [S_cmp, S_sel] float32
+    *,
+    scale: float,
+    l: int, d: int, l_sel: int, n_top: int,
+    force_init: bool = True, force_local: int = 2,
+    pos_offset: int = 0,
+    block_q: int = 128,
+    cmp_chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Returns sel_idx [B, S, G, n_top] int32 (set representation; see
+    module docstring)."""
+    B, S, G, h, Dk = Q.shape
+    S_cmp, S_sel = M_csl.shape
+    if S_cmp == 0:
+        # no compressed tokens anywhere: forced blocks only
+        from nsa_vibe_tpu.ops.selection import forced_block_ids
+
+        t_pos = jnp.arange(pos_offset, pos_offset + S, dtype=jnp.int32)
+        f = forced_block_ids(t_pos, l_sel, force_init, force_local)   # [S,F]
+        F = f.shape[-1]
+        out = jnp.full((B, S, G, n_top), -1, jnp.int32)
+        return out.at[..., :F].set(jnp.broadcast_to(f[None, :, None, :], (B, S, G, F)))
+
+    block_q = min(block_q, max(S, 8))
+    cmp_chunk = min(cmp_chunk, max(S_cmp, 8))
+    nq = pl.cdiv(S, block_q)
+    n_forced = (1 if force_init else 0) + force_local
+
+    kernel = functools.partial(
+        _scorer_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
+        n_forced=n_forced, force_init=force_init, force_local=force_local,
+        block_q=block_q, h=h, cmp_chunk=cmp_chunk, s_cmp=S_cmp, s_sel=S_sel,
+        pos_offset=pos_offset,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, G, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, h, Dk),
+                         lambda b, g, qt: (b, qt, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_cmp, Dk),
+                         lambda b, g, qt: (b, g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_cmp, S_sel), lambda b, g, qt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, n_top),
+                               lambda b, g, qt: (b, g, qt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, S, n_top), jnp.int32),
+        interpret=interpret,
+    )(Q, K_cmp, M_csl.astype(jnp.float32))
+    return out.transpose(0, 2, 1, 3)

@@ -32,12 +32,27 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = float(np.finfo(np.float32).min)
 
 
+def _compact_active(tile_active: jnp.ndarray):
+    """[..., N] bool -> (order [..., N] int32 with active indices first
+    (ascending), padded by repeating the last active; count [...] int32)."""
+    N = tile_active.shape[-1]
+    count = tile_active.sum(axis=-1).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(tile_active, 0, 1), axis=-1, stable=True).astype(jnp.int32)
+    jj = jnp.arange(N, dtype=jnp.int32)
+    last = jnp.maximum(count - 1, 0)[..., None]
+    order = jnp.take_along_axis(order, jnp.minimum(jj, last), axis=-1)
+    return order, count
+
+
 def _sel_flash_kernel(
-    order_ref, count_ref, q_ref, sel_ref, k_ref, v_ref, o_ref,
-    m_scr, l_scr, acc_scr,
-    *, l_sel: int, scale: float, block_q: int, h: int, J: int, s_kv: int,
-    pos_offset: int,
+    order_ref, count_ref, q_ref, sel_ref, k_ref, v_ref, o_ref, *rest,
+    l_sel: int, scale: float, block_q: int, h: int, J: int, s_kv: int,
+    pos_offset: int, return_lse: bool = False,
 ):
+    if return_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        m_scr, l_scr, acc_scr = rest
     b = pl.program_id(0)
     g = pl.program_id(1)
     qt = pl.program_id(2)
@@ -95,17 +110,36 @@ def _sel_flash_kernel(
         out = jnp.where(denom > 0, out, 0.0)
         Dv = o_ref.shape[4]
         o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
+        if return_lse:
+            lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
+                            1e30)
+            lse_ref[0, 0] = lse                       # [Tq*h, 1] row-flat
+
+
+def _tile_active(sel_idx: jnp.ndarray, nq: int, block_q: int, J: int) -> jnp.ndarray:
+    """sel_idx [B,S,G,n] -> per-q-tile activity [B,G,nq,J] bool."""
+    B, S, G, n = sel_idx.shape
+    blk_ids = jnp.arange(J, dtype=jnp.int32)
+    active_q = jnp.any(
+        sel_idx[..., None] == blk_ids[None, None, None, None, :], axis=3
+    )                                  # [B, S, G, J]
+    pad_rows = nq * block_q - S
+    if pad_rows:
+        active_q = jnp.pad(active_q, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
+    ta = active_q.reshape(B, nq, block_q, G, J).any(axis=2)  # [B,nq,G,J]
+    return ta.transpose(0, 2, 1, 3)                           # [B,G,nq,J]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_sel", "scale", "pos_offset", "block_q", "interpret", "q_chunk"),
+    static_argnames=("l_sel", "scale", "pos_offset", "block_q", "interpret",
+                     "q_chunk", "return_lse"),
 )
 def selection_flash_pallas(
     Q: jnp.ndarray,        # [B, S, G, h, Dk]
     K: jnp.ndarray,        # [B, G, S_kv, Dk]
     V: jnp.ndarray,        # [B, G, S_kv, Dv]
-    sel_idx: jnp.ndarray,  # [B, S, G, n] int32 sorted asc, -1 padded
+    sel_idx: jnp.ndarray,  # [B, S, G, n] int32 (set representation)
     *,
     l_sel: int,
     scale: float,
@@ -113,8 +147,9 @@ def selection_flash_pallas(
     block_q: int = 128,
     interpret: bool = False,
     q_chunk: int = 4096,
-) -> jnp.ndarray:
-    """Returns O [B, S, G, h, Dv]."""
+    return_lse: bool = False,
+):
+    """Returns O [B, S, G, h, Dv] (+ lse [B, G, S, h] f32 if return_lse)."""
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     n = sel_idx.shape[-1]
@@ -123,43 +158,43 @@ def selection_flash_pallas(
         nchunk = S // q_chunk
         Qc = Q.reshape(B, nchunk, q_chunk, G, h, Dk).transpose(1, 0, 2, 3, 4, 5)
         selc = sel_idx.reshape(B, nchunk, q_chunk, G, n).transpose(1, 0, 2, 3, 4)
-
-        outs = []
+        outs, lses = [], []
         for i in range(nchunk):  # unrolled: pos_offset must be static per chunk
-            outs.append(selection_flash_pallas(
+            r = selection_flash_pallas(
                 Qc[i], K, V, selc[i], l_sel=l_sel, scale=scale,
                 pos_offset=pos_offset + i * q_chunk, block_q=block_q,
-                interpret=interpret, q_chunk=q_chunk,
-            ))
-        return jnp.stack(outs).transpose(1, 0, 2, 3, 4, 5).reshape(B, S, G, h, Dv)
+                interpret=interpret, q_chunk=q_chunk, return_lse=return_lse,
+            )
+            if return_lse:
+                outs.append(r[0]); lses.append(r[1])
+            else:
+                outs.append(r)
+        O = jnp.stack(outs).transpose(1, 0, 2, 3, 4, 5).reshape(B, S, G, h, Dv)
+        if return_lse:
+            lse = jnp.stack(lses).transpose(1, 2, 0, 3, 4).reshape(B, G, S * h, 1)
+            return O, lse
+        return O
 
     block_q = min(block_q, max(S, 8))
     nq = pl.cdiv(S, block_q)
     J = pl.cdiv(S_kv, l_sel)          # total kv blocks (grid bound)
-
-    # --- per-(b, g, q-tile) active-block compaction (device-side) ---
-    blk_ids = jnp.arange(J, dtype=jnp.int32)
-    # active[b, s, g, j] without materializing one-hot beyond this chunk
-    active_q = jnp.any(
-        sel_idx[..., None] == blk_ids[None, None, None, None, :], axis=3
-    )                                  # [B, S, G, J]
-    pad_rows = nq * block_q - S
-    if pad_rows:
-        active_q = jnp.pad(active_q, ((0, 0), (0, pad_rows), (0, 0), (0, 0)))
-    tile_active = active_q.reshape(B, nq, block_q, G, J).any(axis=2)  # [B,nq,G,J]
-    tile_active = tile_active.transpose(0, 2, 1, 3)                   # [B,G,nq,J]
-    count = tile_active.sum(axis=-1).astype(jnp.int32)                # [B,G,nq]
-    # stable argsort: active block ids first, ascending
-    order = jnp.argsort(jnp.where(tile_active, 0, 1), axis=-1, stable=True)
-    order = order.astype(jnp.int32)
-    # clamp padded slots to the last active id (no fresh DMA on skip)
-    jj = jnp.arange(J, dtype=jnp.int32)
-    last = jnp.maximum(count - 1, 0)[..., None]
-    order = jnp.take_along_axis(order, jnp.minimum(jj, last), axis=-1)
+    order, count = _compact_active(_tile_active(sel_idx, nq, block_q, J))
 
     def kv_index(b, g, qt, j, order_ref, count_ref):
         blk = order_ref[b, g, qt, jnp.minimum(j, jnp.maximum(count_ref[b, g, qt] - 1, 0))]
         return (b, g, blk, 0)
+
+    out_specs = pl.BlockSpec(
+        (1, block_q, 1, h, Dv), lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
+    if return_lse:
+        out_specs = [out_specs, pl.BlockSpec(
+            (1, 1, block_q * h, 1), lambda b, g, qt, j, *_: (b, g, qt, 0),
+            memory_space=pltpu.VMEM,
+        )]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((B, G, S * h, 1), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -174,10 +209,7 @@ def selection_flash_pallas(
             pl.BlockSpec((1, 1, l_sel, Dk), kv_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, l_sel, Dv), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, 1, h, Dv), lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((h * block_q, 1), jnp.float32),
             pltpu.VMEM((h * block_q, 1), jnp.float32),
@@ -186,11 +218,263 @@ def selection_flash_pallas(
     )
     kernel = functools.partial(
         _sel_flash_kernel, l_sel=l_sel, scale=scale, block_q=block_q,
-        h=h, J=J, s_kv=S_kv, pos_offset=pos_offset,
+        h=h, J=J, s_kv=S_kv, pos_offset=pos_offset, return_lse=return_lse,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(order, count, Q, sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3), K, V)
+
+
+# --------------------------- backward kernels ---------------------------
+
+
+def _sel_dq_kernel(
+    order_ref, count_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
+    delta_ref, dq_ref, acc_scr,
+    *, l_sel, scale, block_q, h, J, s_kv, pos_offset,
+):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    qt = pl.program_id(2)
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    cnt = count_ref[b, g, qt]
+
+    @pl.when(j < cnt)
+    def _compute():
+        blk = order_ref[b, g, qt, j]
+        q = q_ref[0, :, 0]
+        Dk = q.shape[2]
+        qf = q.reshape(block_q * h, Dk)
+        k = k_ref[0, 0]
+        logits = jax.lax.dot_general(
+            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        sel_q = sel_ref[0, 0]
+        member = jnp.any(sel_q == blk, axis=-1)
+        kpos = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+        tpos = (pos_offset + qt * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+        mask = member[:, None] & (kpos <= tpos)
+        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
+            block_q * h, l_sel)
+        lse = lse_ref[0, 0]
+        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)
+
+        do = do_ref[0, :, 0]
+        Dv = do.shape[2]
+        dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
+        vrow = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
+        vf = jnp.where(vrow < s_kv, v_ref[0, 0], 0).astype(jnp.float32)
+        dpv = jax.lax.dot_general(
+            dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = delta_ref[0, 0]
+        ds = p * (dpv - delta)
+        kf = jnp.where(vrow < s_kv, k, 0).astype(jnp.float32)
+        acc_scr[:] += scale * jax.lax.dot_general(
+            ds, kf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == J - 1)
+    def _finalize():
+        Dk = dq_ref.shape[4]
+        dq_ref[0, :, 0] = acc_scr[:].reshape(block_q, h, Dk).astype(dq_ref.dtype)
+
+
+def _sel_dkv_kernel(
+    orderq_ref, countq_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
+    delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+    *, l_sel, scale, block_q, h, NQ, s_kv, pos_offset,
+):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    j = pl.program_id(2)   # kv block
+    qi = pl.program_id(3)  # compacted q-tile step
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    cnt = countq_ref[b, g, j]
+
+    @pl.when(qi < cnt)
+    def _compute():
+        qt = orderq_ref[b, g, j, qi]
+        q = q_ref[0, :, 0]
+        Dk = q.shape[2]
+        qf = q.reshape(block_q * h, Dk)
+        k = k_ref[0, 0]
+        logits = jax.lax.dot_general(
+            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        sel_q = sel_ref[0, 0]
+        member = jnp.any(sel_q == j, axis=-1)
+        kpos = j * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+        tpos = (pos_offset + qt * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+        mask = member[:, None] & (kpos <= tpos)
+        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
+            block_q * h, l_sel)
+        lse = lse_ref[0, 0]
+        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)
+
+        do = do_ref[0, :, 0]
+        Dv = do.shape[2]
+        dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
+        dv_scr[:] += jax.lax.dot_general(
+            p, dof, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        vrow = j * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
+        vf = jnp.where(vrow < s_kv, v_ref[0, 0], 0).astype(jnp.float32)
+        dpv = jax.lax.dot_general(
+            dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = delta_ref[0, 0]
+        ds = p * (dpv - delta)
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds, qf.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == NQ - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_sel", "scale", "pos_offset", "block_q", "interpret", "q_chunk"),
+)
+def selection_flash_bwd(
+    Q, K, V, sel_idx, dO, lse, delta,
+    *, l_sel, scale, pos_offset=0, block_q=128, interpret=False, q_chunk=4096,
+):
+    """Backward of selection_flash_pallas. lse/delta: row-flat
+    [B, G, S*h, 1] f32 (row = t*h + head). Returns (dQ, dK, dV); dK/dV
+    accumulate across q-chunks."""
+    B, S, G, h, Dk = Q.shape
+    S_kv, Dv = K.shape[2], V.shape[3]
+    n = sel_idx.shape[-1]
+
+    if S > q_chunk and S % q_chunk == 0:
+        nchunk = S // q_chunk
+        dqs = []
+        dk_total = jnp.zeros_like(K)
+        dv_total = jnp.zeros_like(V)
+        for i in range(nchunk):
+            sl = slice(i * q_chunk, (i + 1) * q_chunk)
+            slh = slice(i * q_chunk * h, (i + 1) * q_chunk * h)
+            dq_i, dk_i, dv_i = selection_flash_bwd(
+                Q[:, sl], K, V, sel_idx[:, sl], dO[:, sl],
+                lse[:, :, slh], delta[:, :, slh],
+                l_sel=l_sel, scale=scale, pos_offset=pos_offset + i * q_chunk,
+                block_q=block_q, interpret=interpret, q_chunk=q_chunk,
+            )
+            dqs.append(dq_i)
+            dk_total = dk_total + dk_i
+            dv_total = dv_total + dv_i
+        return jnp.concatenate(dqs, axis=1), dk_total, dv_total
+
+    block_q = min(block_q, max(S, 8))
+    nq = pl.cdiv(S, block_q)
+    J = pl.cdiv(S_kv, l_sel)
+    ta = _tile_active(sel_idx, nq, block_q, J)          # [B,G,nq,J]
+    order, count = _compact_active(ta)                  # q-major
+    order_q, count_q = _compact_active(ta.transpose(0, 1, 3, 2))  # kv-major [B,G,J,nq]
+
+    sel_t = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)       # [B,G,S,n]
+
+    def kv_index(b, g, qt, j, order_ref, count_ref):
+        blk = order_ref[b, g, qt, jnp.minimum(j, jnp.maximum(count_ref[b, g, qt] - 1, 0))]
+        return (b, g, blk, 0)
+
+    stat_spec = pl.BlockSpec((1, 1, block_q * h, 1),
+                             lambda b, g, qt, j, *_: (b, g, qt, 0),
+                             memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_sel_dq_kernel, l_sel=l_sel, scale=scale,
+                          block_q=block_q, h=h, J=J, s_kv=S_kv,
+                          pos_offset=pos_offset),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, G, nq, J),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 1, h, Dk),
+                             lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, n),
+                             lambda b, g, qt, j, *_: (b, g, qt, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l_sel, Dk), kv_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l_sel, Dv), kv_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1, h, Dv),
+                             lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                stat_spec, stat_spec,
+            ],
+            out_specs=pl.BlockSpec((1, block_q, 1, h, Dk),
+                                   lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((h * block_q, Dk), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(Q.shape, Q.dtype),
+        interpret=interpret,
+    )(order, count, Q, sel_t, K, V, dO, lse, delta)
+
+    def q_index(b, g, j, qi, orderq_ref, countq_ref):
+        qt = orderq_ref[b, g, j, jnp.minimum(qi, jnp.maximum(countq_ref[b, g, j] - 1, 0))]
+        return qt
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_sel_dkv_kernel, l_sel=l_sel, scale=scale,
+                          block_q=block_q, h=h, NQ=nq, s_kv=S_kv,
+                          pos_offset=pos_offset),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, G, J, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 1, h, Dk),
+                             lambda b, g, j, qi, oq, cq: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, n),
+                             lambda b, g, j, qi, oq, cq: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l_sel, Dk),
+                             lambda b, g, j, qi, *_: (b, g, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l_sel, Dv),
+                             lambda b, g, j, qi, *_: (b, g, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1, h, Dv),
+                             lambda b, g, j, qi, oq, cq: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q * h, 1),
+                             lambda b, g, j, qi, oq, cq: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q * h, 1),
+                             lambda b, g, j, qi, oq, cq: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, l_sel, Dk), lambda b, g, j, qi, *_: (b, g, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, l_sel, Dv), lambda b, g, j, qi, *_: (b, g, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((l_sel, Dk), jnp.float32),
+                pltpu.VMEM((l_sel, Dv), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(K.shape, K.dtype),
+            jax.ShapeDtypeStruct(V.shape, V.dtype),
+        ],
+        interpret=interpret,
+    )(order_q, count_q, Q, sel_t, K, V, dO, lse, delta)
+    return dq, dk, dv
