@@ -1,0 +1,98 @@
+"""Long-context needle retrieval: selection must cover the needle.
+
+Reference: nsa/tests/test_long_context_needle.py:85-104 — plant a key
+whose compressed representation dominates the selection scores at a given
+depth, then assert the Eq.8-12 pipeline selects a block covering the
+needle position. Like the reference, this exercises the scorer + mapping
++ top-n only (no attention compute), CPU at 4k; scale is bounded by CI
+time, not algorithm.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.ops.block_index import build_block_meta, num_cmp_blocks
+from nsa_vibe_tpu.ops.selection import (
+    blocks_to_ranges,
+    select_topn_blocks,
+    selection_scores,
+)
+
+
+def _plant_and_select(S: int, needle_pos: int, cfg: NSAConfig, seed: int = 0):
+    """Construct Q/K_cmp so the compressed rows covering needle_pos carry
+    all the score mass for the last query, then run Eq.8-12."""
+    B, G, h = 1, cfg.n_kv_groups, cfg.h_per_group
+    meta = build_block_meta(S, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
+    S_cmp = int(num_cmp_blocks(S, cfg.l, cfg.d))
+
+    rng = np.random.default_rng(seed)
+    K_cmp = jnp.asarray(rng.normal(0, 0.02, (B, G, S_cmp, cfg.d_k)), jnp.float32)
+    # compressed rows whose [i*d, i*d+l) span contains the needle
+    covering = [
+        i for i in range(S_cmp) if i * cfg.d <= needle_pos < i * cfg.d + cfg.l
+    ]
+    assert covering, "needle not covered by any compressed block"
+    direction = jnp.asarray(rng.normal(0, 1, (cfg.d_k,)), jnp.float32)
+    direction = direction / jnp.linalg.norm(direction)
+    K_cmp = K_cmp.at[:, :, jnp.asarray(covering)].add(direction * 10.0)
+
+    # single query (the "retrieval" position t = S-1), aligned with needle key
+    Q = jnp.broadcast_to(direction, (B, 1, G, h, cfg.d_k)) * 10.0
+    t_pos = jnp.asarray([S - 1], jnp.int32)
+    num_cmp_t = jnp.asarray([S_cmp], jnp.int32)
+
+    M = jnp.asarray(meta.M_csl[:S_cmp])
+    p_grp = selection_scores(Q, K_cmp, M, 1.0 / np.sqrt(cfg.d_k), num_cmp_t)
+    sel_idx = select_topn_blocks(
+        p_grp, cfg.n_sel, t_pos, cfg.l_sel, cfg.force_init, cfg.force_local
+    )
+    return sel_idx, p_grp
+
+
+@pytest.mark.parametrize("S,depth", [(1024, 0.5), (4096, 0.5), (4096, 0.25), (4096, 0.9)])
+def test_needle_selected(S, depth):
+    cfg = NSAConfig(dim=128, n_heads=4, n_kv_groups=2, d_k=32, d_v=32,
+                    l=32, d=16, l_sel=64, n_sel=16, w=512)
+    needle_pos = int(S * depth)
+    sel_idx, _ = _plant_and_select(S, needle_pos, cfg)
+    needle_block = needle_pos // cfg.l_sel
+    chosen = np.asarray(sel_idx[0, 0])  # [G, n]
+    for g in range(cfg.n_kv_groups):
+        assert needle_block in chosen[g], (
+            f"needle block {needle_block} not in selection {sorted(chosen[g])}"
+        )
+
+
+def test_needle_ranges_cover_position():
+    """The range view (reference convert_indices_to_ranges_batched_v2
+    contract) covers the needle token itself."""
+    cfg = NSAConfig(dim=128, n_heads=4, n_kv_groups=2, d_k=32, d_v=32,
+                    l=32, d=16, l_sel=64, n_sel=16, w=512)
+    S, needle_pos = 2048, 777
+    sel_idx, _ = _plant_and_select(S, needle_pos, cfg)
+    t_pos = jnp.asarray([S - 1], jnp.int32)
+    ranges = np.asarray(blocks_to_ranges(sel_idx, t_pos, cfg.l_sel, cfg.n_sel))
+    for g in range(cfg.n_kv_groups):
+        covered = any(
+            s <= needle_pos < e for s, e in ranges[0, 0, g] if e > s
+        )
+        assert covered, f"group {g}: ranges {ranges[0, 0, g]} miss {needle_pos}"
+
+
+def test_no_needle_no_false_positive_mass():
+    """Sanity: with uniform scores, forced blocks are still selected and
+    selection stays causal at long S (no index > t//l_sel)."""
+    cfg = NSAConfig(dim=128, n_heads=4, n_kv_groups=2, d_k=32, d_v=32,
+                    l=32, d=16, l_sel=64, n_sel=8, w=512)
+    S = 4096
+    S_sel = S // cfg.l_sel
+    p_grp = jnp.ones((1, 1, cfg.n_kv_groups, S_sel), jnp.float32)
+    t_pos = jnp.asarray([S - 1], jnp.int32)
+    sel = np.asarray(select_topn_blocks(p_grp, cfg.n_sel, t_pos, cfg.l_sel))
+    assert (sel <= (S - 1) // cfg.l_sel).all()
+    assert 0 in sel[0, 0, 0]  # forced init
+    assert (S - 1) // cfg.l_sel in sel[0, 0, 0]  # forced local
