@@ -179,14 +179,16 @@ def nsa_prefill(
 
     # three branches (Pallas on TPU, jnp reference oracle per cfg.kernel)
     O_cmp = attn_ops.compressed_attention(
-        Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel
+        Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
+        t_start=pos_offset,
     )
     O_sel = attn_ops.selection_attention(
         Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,
         pos_offset=pos_offset,
     )
     O_win = attn_ops.sliding_window_attention(
-        Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel
+        Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel,
+        t_start=pos_offset,
     )
 
     out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)

@@ -45,12 +45,15 @@ def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
     return d.transpose(0, 2, 1, 3).reshape(B, G, S * h, 1)
 
 
-def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool):
+def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
+               t_start=None):
     """custom_vjp with analytical Pallas forward AND backward (the
     reference-recompute backward materializes O(S^2) logits — 29 GB at
-    the m7c training shape)."""
+    the m7c training shape). t_start (int or traced scalar) is closed
+    over — it is integer-typed, hence nondifferentiable by construction."""
 
-    kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret)
+    kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret,
+              t_start=t_start)
 
     @jax.custom_vjp
     def f(Q, K, V):
@@ -68,7 +71,7 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool)
     return f
 
 
-def _sel_flash_vjp(sel_idx, l_sel: int, scale: float, pos_offset: int, interpret: bool):
+def _sel_flash_vjp(sel_idx, l_sel: int, scale: float, pos_offset, interpret: bool):
     kw = dict(l_sel=l_sel, scale=scale, pos_offset=pos_offset, interpret=interpret)
 
     @jax.custom_vjp
@@ -125,21 +128,26 @@ def _with_ref_vjp(pallas_fn: Callable, ref_fn: Callable):
 def sliding_window_attention(
     Q: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
     t_pos: jnp.ndarray, w: int, scale: float, kernel: str = "auto",
+    t_start=None,
 ) -> jnp.ndarray:
+    """t_start: global position of query row 0 (int or traced scalar) —
+    required by the Pallas path when t_pos does not start at 0 (sequence
+    sharding / chunked prefill). The reference path reads t_pos directly."""
     impl, interpret = resolve_kernel(kernel)
     if impl == "reference":
         return ref.sliding_window_attention(Q, K, V, t_pos, w, scale)
-    return _flash_vjp("win", w, 0, 1, scale, interpret)(Q, K, V)
+    return _flash_vjp("win", w, 0, 1, scale, interpret, t_start)(Q, K, V)
 
 
 def compressed_attention(
     Q: jnp.ndarray, K_cmp: jnp.ndarray, V_cmp: jnp.ndarray,
     num_cmp_t: jnp.ndarray, l: int, d: int, scale: float, kernel: str = "auto",
+    t_start=None,
 ) -> jnp.ndarray:
     impl, interpret = resolve_kernel(kernel)
     if impl == "reference":
         return ref.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
-    return _flash_vjp("cmp", 0, l, d, scale, interpret)(Q, K_cmp, V_cmp)
+    return _flash_vjp("cmp", 0, l, d, scale, interpret, t_start)(Q, K_cmp, V_cmp)
 
 
 def selection_attention(

@@ -48,7 +48,7 @@ def _bounds_fn(mode: str, w: int, l: int, d: int):
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, o_ref, *rest,
+    t0_ref, q_ref, k_ref, v_ref, o_ref, *rest,
     mode: str, w: int, l: int, d: int, scale: float,
     block_q: int, block_k: int, h: int, nk_grid: int, s_kv: int,
     return_lse: bool = False,
@@ -67,8 +67,10 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # this q-tile's kv-tile band (same formulas as the index_map)
-    t_first = qi * block_q
+    # this q-tile's kv-tile band (same formulas as the index_map).
+    # Row s is global position t0 + s (t0 > 0 under sequence sharding /
+    # chunked prefill).
+    t_first = t0_ref[0] + qi * block_q
     t_last = t_first + block_q - 1
     lo_first, _ = bounds(t_first)
     _, hi_last = bounds(t_last)
@@ -130,6 +132,15 @@ def _flash_kernel(
             lse_ref[0, 0] = lse                           # [Tq*h, 1] row-flat
 
 
+def _as_t0(t_start, like=None) -> jnp.ndarray:
+    """Normalize a query-position offset to a (1,) int32 array (scalar
+    prefetch operand)."""
+    if t_start is None:
+        return jnp.zeros((1,), jnp.int32)
+    t0 = jnp.asarray(t_start, jnp.int32)
+    return t0.reshape(1) if t0.ndim <= 1 else t0
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
@@ -149,17 +160,24 @@ def flash_banded(
     block_k: int = 128,
     interpret: bool = False,
     return_lse: bool = False,
+    t_start=None,             # traced int32 scalar: global position of row 0
 ):
     """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
     log-sum-exp [B, G, S, h] float32 when return_lse (backward residual).
 
     Consumes Q in the module's native [B,S,G,h,Dk] layout via BlockSpec
     indexing — no transposes (a materialized relayout of Q/O costs more
-    than the whole kernel at paper scales)."""
+    than the whole kernel at paper scales).
+
+    `t_start` makes query positions t = t_start + row: the mechanism for
+    sequence-sharded (shard_map) and chunked prefill. It reaches tile
+    selection via scalar prefetch, so KV tiles outside the shifted band
+    are still skipped."""
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(S_kv, 8))
+    t0 = _as_t0(t_start)
 
     nq = pl.cdiv(S, block_q)
     if mode == "win":
@@ -169,8 +187,8 @@ def flash_banded(
 
     bounds = _bounds_fn(mode, w, l, d)
 
-    def k_index(b, g, qi, ki):
-        t_first = qi * block_q
+    def k_index(b, g, qi, ki, t0_ref):
+        t_first = t0_ref[0] + qi * block_q
         t_last = t_first + block_q - 1
         lo_first, _ = bounds(t_first)
         _, hi_last = bounds(t_last)
@@ -186,9 +204,8 @@ def flash_banded(
         block_q=block_q, block_k=block_k, h=h, nk_grid=nk, s_kv=S_kv,
         return_lse=return_lse,
     )
-    grid = (B, G, nq, nk)
     out_specs = pl.BlockSpec(
-        (1, block_q, 1, h, Dv), lambda b, g, qi, ki: (b, qi, g, 0, 0),
+        (1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
         memory_space=pltpu.VMEM,
     )
     out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
@@ -197,43 +214,48 @@ def flash_banded(
         # read as (Tq*h, 1) with no lane<->sublane reshape (unsupported in
         # Mosaic)
         out_specs = [out_specs, pl.BlockSpec(
-            (1, 1, block_q * h, 1), lambda b, g, qi, ki: (b, g, qi, 0),
+            (1, 1, block_q * h, 1), lambda b, g, qi, ki, *_: (b, g, qi, 0),
             memory_space=pltpu.VMEM,
         )]
         out_shape = [out_shape, jax.ShapeDtypeStruct((B, G, S * h, 1), jnp.float32)]
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, h, Dk), lambda b, g, qi, ki: (b, qi, g, 0, 0),
+            pl.BlockSpec((1, block_q, 1, h, Dk), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((h * block_q, 1), jnp.float32),
             pltpu.VMEM((h * block_q, 1), jnp.float32),
             pltpu.VMEM((h * block_q, Dv), jnp.float32),
         ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         interpret=interpret,
-    )(Q, K, V)
+    )(t0, Q, K, V)
 
 
 def sliding_window_attention_pallas(
     Q: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray, w: int, scale: float,
-    interpret: bool = False,
+    interpret: bool = False, t_start=None,
 ) -> jnp.ndarray:
     """Q [B,S,G,h,Dk] -> O [B,S,G,h,Dv] (wrapper matching ops.reference)."""
-    return flash_banded(Q, K, V, mode="win", w=w, scale=scale, interpret=interpret)
+    return flash_banded(Q, K, V, mode="win", w=w, scale=scale, interpret=interpret,
+                        t_start=t_start)
 
 
 def compressed_attention_pallas(
     Q: jnp.ndarray, K_cmp: jnp.ndarray, V_cmp: jnp.ndarray,
-    l: int, d: int, scale: float, interpret: bool = False,
+    l: int, d: int, scale: float, interpret: bool = False, t_start=None,
 ) -> jnp.ndarray:
     """Q [B,S,G,h,Dk] -> O [B,S,G,h,Dv]; rows with no visible cmp tokens
     (t+1 < l) return zeros, matching ops.reference.compressed_attention."""
     return flash_banded(Q, K_cmp, V_cmp, mode="cmp", l=l, d=d, scale=scale,
-                        interpret=interpret)
+                        interpret=interpret, t_start=t_start)

@@ -43,7 +43,7 @@ def _row_block_layout(x):
 
 
 def _dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
+    t0_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
     *, mode, w, l, d, scale, block_q, block_k, h, nk_grid, s_kv,
 ):
     qi = pl.program_id(2)
@@ -54,7 +54,7 @@ def _dq_kernel(
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    t_first = qi * block_q
+    t_first = t0_ref[0] + qi * block_q
     t_last = t_first + block_q - 1
     lo_first, _ = bounds(t_first)
     _, hi_last = bounds(t_last)
@@ -103,33 +103,41 @@ def _dq_kernel(
         dq_ref[0, :, 0] = acc_scr[:].reshape(block_q, h, Dk).astype(dq_ref.dtype)
 
 
+def _inverse_q_bounds(mode, w, l, d, k0, block_k, block_q, s, t0):
+    """Local q-tile band that can see kv tile [k0, k0+block_k): returns
+    (qt_lo, n_live) in LOCAL row coordinates (row = global t - t0)."""
+    if mode == "win":
+        s_min = jnp.maximum(k0 - t0, 0)                   # t >= k  ->  row >= k - t0
+        s_max = k0 + block_k - 1 + w - 1 - t0
+        qt_lo = s_min // block_q
+        n_live = pl.cdiv(
+            jnp.maximum(jnp.minimum(s_max + 1, s) - qt_lo * block_q, 0), block_q
+        )
+    else:  # cmp: key c needs t >= l - 1 + c*d
+        s_min = jnp.maximum(l - 1 + k0 * d - t0, 0)
+        qt_lo = s_min // block_q
+        n_live = jnp.maximum(pl.cdiv(s, block_q) - qt_lo, 0)
+    return qt_lo, n_live
+
+
 def _dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    t0_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
     *, mode, w, l, d, scale, block_q, block_k, h, nq_grid, s, s_kv,
 ):
     ki = pl.program_id(2)
     qi_rel = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
+    t0 = t0_ref[0]
 
     @pl.when(qi_rel == 0)
     def _init():
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    # inverse bounds: q rows that can see keys in this kv tile
+    # inverse bounds: local q rows that can see keys in this kv tile
     k0 = ki * block_k
-    if mode == "win":
-        t_min = k0                                        # t >= k
-    else:  # cmp: key c needs t >= l - 1 + c*d
-        t_min = l - 1 + k0 * d
-    qt_lo = t_min // block_q
-    if mode == "win":
-        t_max = k0 + block_k - 1 + w - 1
-        n_live = pl.cdiv(jnp.maximum(jnp.minimum(t_max + 1, s) - qt_lo * block_q, 0),
-                         block_q)
-    else:
-        n_live = jnp.maximum(pl.cdiv(s, block_q) - qt_lo, 0)
+    qt_lo, n_live = _inverse_q_bounds(mode, w, l, d, k0, block_k, block_q, s, t0)
 
     @pl.when(qi_rel < n_live)
     def _compute():
@@ -142,9 +150,10 @@ def _dkv_kernel(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        tpos = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        tpos = t0 + srow
         lo_r, hi_r = bounds(tpos)
-        mask = (kpos >= lo_r) & (kpos < hi_r) & (tpos < s)
+        mask = (kpos >= lo_r) & (kpos < hi_r) & (srow < s)
         mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, block_k)).reshape(
             block_q * h, block_k
         )
@@ -183,9 +192,13 @@ def _dkv_kernel(
 def flash_banded_bwd(
     Q, K, V, dO, lse, delta,
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=128, interpret=False,
+    t_start=None,
 ):
     """lse/delta: row-flat [B, G, S*h, 1] float32 (row = t*h + head).
-    Returns (dQ, dK, dV)."""
+    Returns (dQ, dK, dV). `t_start`: traced global position of row 0
+    (sequence-sharded / chunked prefill)."""
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     block_q = min(block_q, max(S, 8))
@@ -193,14 +206,15 @@ def flash_banded_bwd(
     nq = pl.cdiv(S, block_q)
     nk_total = pl.cdiv(S_kv, block_k)
     bounds = _bounds_fn(mode, w, l, d)
+    t0 = _as_t0(t_start)
 
     if mode == "win":
         nk = min(pl.cdiv(block_q - 1 + w, block_k) + 1, nk_total)
     else:
         nk = nk_total
 
-    def k_index(b, g, qi, ki):
-        t_first = qi * block_q
+    def k_index(b, g, qi, ki, t0_ref):
+        t_first = t0_ref[0] + qi * block_q
         lo_first, _ = bounds(t_first)
         _, hi_last = bounds(t_first + block_q - 1)
         kt_lo = lo_first // block_k
@@ -208,31 +222,34 @@ def flash_banded_bwd(
         kt = kt_lo + jnp.minimum(ki, jnp.maximum(n_live - 1, 0))
         return (b, g, jnp.clip(kt, 0, nk_total - 1), 0)
 
-    q_spec = pl.BlockSpec((1, block_q, 1, h, Dk), lambda b, g, qi, ki: (b, qi, g, 0, 0),
+    q_spec = pl.BlockSpec((1, block_q, 1, h, Dk), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
                           memory_space=pltpu.VMEM)
-    do_spec = pl.BlockSpec((1, block_q, 1, h, Dv), lambda b, g, qi, ki: (b, qi, g, 0, 0),
+    do_spec = pl.BlockSpec((1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
                            memory_space=pltpu.VMEM)
     stat_spec = pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, qi, ki: (b, g, qi, 0),
+                             lambda b, g, qi, ki, *_: (b, g, qi, 0),
                              memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, mode=mode, w=w, l=l, d=d, scale=scale,
                           block_q=block_q, block_k=block_k, h=h, nk_grid=nk,
                           s_kv=S_kv),
-        grid=(B, G, nq, nk),
-        in_specs=[
-            q_spec,
-            pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
-            do_spec, stat_spec, stat_spec,
-        ],
-        out_specs=pl.BlockSpec((1, block_q, 1, h, Dk),
-                               lambda b, g, qi, ki: (b, qi, g, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G, nq, nk),
+            in_specs=[
+                q_spec,
+                pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
+                do_spec, stat_spec, stat_spec,
+            ],
+            out_specs=pl.BlockSpec((1, block_q, 1, h, Dk),
+                                   lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((block_q * h, Dk), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct(Q.shape, Q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q * h, Dk), jnp.float32)],
         interpret=interpret,
-    )(Q, K, V, dO, lse, delta)
+    )(t0, Q, K, V, dO, lse, delta)
 
     # kv-major pass
     if mode == "win":
@@ -240,16 +257,11 @@ def flash_banded_bwd(
     else:
         nq_inner = nq
 
-    def q_index(b, g, ki, qi):
+    def q_index(b, g, ki, qi, t0_ref):
         k0 = ki * block_k
-        t_min = k0 if mode == "win" else l - 1 + k0 * d
-        qt_lo = t_min // block_q
-        if mode == "win":
-            t_max = k0 + block_k - 1 + w - 1
-            n_live = pl.cdiv(jnp.maximum(jnp.minimum(t_max + 1, S) - qt_lo * block_q, 0),
-                             block_q)
-        else:
-            n_live = jnp.maximum(nq - qt_lo, 0)
+        qt_lo, n_live = _inverse_q_bounds(
+            mode, w, l, d, k0, block_k, block_q, S, t0_ref[0]
+        )
         qt = qt_lo + jnp.minimum(qi, jnp.maximum(n_live - 1, 0))
         return jnp.clip(qt, 0, nq - 1)
 
@@ -257,39 +269,42 @@ def flash_banded_bwd(
         functools.partial(_dkv_kernel, mode=mode, w=w, l=l, d=d, scale=scale,
                           block_q=block_q, block_k=block_k, h=h,
                           nq_grid=nq_inner, s=S, s_kv=S_kv),
-        grid=(B, G, nk_total, nq_inner),
-        in_specs=[
-            pl.BlockSpec((1, block_q, 1, h, Dk),
-                         lambda b, g, ki, qi: (b, q_index(b, g, ki, qi), g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi: (b, g, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Dv), lambda b, g, ki, qi: (b, g, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_q, 1, h, Dv),
-                         lambda b, g, ki, qi: (b, q_index(b, g, ki, qi), g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q * h, 1),
-                         lambda b, g, ki, qi: (b, g, q_index(b, g, ki, qi), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q * h, 1),
-                         lambda b, g, ki, qi: (b, g, q_index(b, g, ki, qi), 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi: (b, g, ki, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Dv), lambda b, g, ki, qi: (b, g, ki, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G, nk_total, nq_inner),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 1, h, Dk),
+                             lambda b, g, ki, qi, t0: (b, q_index(b, g, ki, qi, t0), g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k, Dv), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1, h, Dv),
+                             lambda b, g, ki, qi, t0: (b, q_index(b, g, ki, qi, t0), g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q * h, 1),
+                             lambda b, g, ki, qi, t0: (b, g, q_index(b, g, ki, qi, t0), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q * h, 1),
+                             lambda b, g, ki, qi, t0: (b, g, q_index(b, g, ki, qi, t0), 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_k, Dv), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, Dk), jnp.float32),
+                pltpu.VMEM((block_k, Dv), jnp.float32),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct(K.shape, K.dtype),
             jax.ShapeDtypeStruct(V.shape, V.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, Dk), jnp.float32),
-            pltpu.VMEM((block_k, Dv), jnp.float32),
-        ],
         interpret=interpret,
-    )(Q, K, V, dO, lse, delta)
+    )(t0, Q, K, V, dO, lse, delta)
     return dq, dk, dv

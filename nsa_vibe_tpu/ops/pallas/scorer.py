@@ -32,15 +32,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+
 NEG = float(np.finfo(np.float32).min)
 
 
 def _scorer_kernel(
-    q_ref, kc_ref, m_ref, o_ref,
+    t0_ref, q_ref, kc_ref, m_ref, o_ref,
     *, scale: float, l: int, d: int, l_sel: int,
     n_top: int, n_forced: int, force_init: bool, force_local: int,
     block_q: int, h: int, cmp_chunk: int, s_cmp: int, s_sel: int,
-    pos_offset: int,
 ):
     qt = pl.program_id(2)
     q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
@@ -48,7 +49,7 @@ def _scorer_kernel(
     qf = q.reshape(block_q * h, Dk)
     rows = block_q * h
 
-    tpos = (pos_offset + qt * block_q
+    tpos = (t0_ref[0] + qt * block_q
             + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))  # [Tq,1]
     s_raw = tpos + 1
     num_cmp = jnp.where(s_raw >= l, (s_raw - l) // d + 1, 0)          # [Tq,1]
@@ -113,7 +114,7 @@ def _scorer_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "l", "d", "l_sel", "n_top", "force_init",
-                     "force_local", "pos_offset", "block_q", "cmp_chunk",
+                     "force_local", "block_q", "cmp_chunk",
                      "interpret"),
 )
 def nsa_select_pallas(
@@ -124,7 +125,7 @@ def nsa_select_pallas(
     scale: float,
     l: int, d: int, l_sel: int, n_top: int,
     force_init: bool = True, force_local: int = 2,
-    pos_offset: int = 0,
+    pos_offset=0,          # int or traced int32 scalar (sequence sharding)
     block_q: int = 128,
     cmp_chunk: int = 512,
     interpret: bool = False,
@@ -137,7 +138,7 @@ def nsa_select_pallas(
         # no compressed tokens anywhere: forced blocks only
         from nsa_vibe_tpu.ops.selection import forced_block_ids
 
-        t_pos = jnp.arange(pos_offset, pos_offset + S, dtype=jnp.int32)
+        t_pos = jnp.asarray(pos_offset, jnp.int32) + jnp.arange(S, dtype=jnp.int32)
         f = forced_block_ids(t_pos, l_sel, force_init, force_local)   # [S,F]
         F = f.shape[-1]
         out = jnp.full((B, S, G, n_top), -1, jnp.int32)
@@ -152,23 +153,26 @@ def nsa_select_pallas(
         _scorer_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
         n_forced=n_forced, force_init=force_init, force_local=force_local,
         block_q=block_q, h=h, cmp_chunk=cmp_chunk, s_cmp=S_cmp, s_sel=S_sel,
-        pos_offset=pos_offset,
     )
+    t0 = _as_t0(pos_offset)
     out = pl.pallas_call(
         kernel,
-        grid=(B, G, nq),
-        in_specs=[
-            pl.BlockSpec((1, block_q, 1, h, Dk),
-                         lambda b, g, qt: (b, qt, g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S_cmp, Dk),
-                         lambda b, g, qt: (b, g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_cmp, S_sel), lambda b, g, qt: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, block_q, n_top),
-                               lambda b, g, qt: (b, g, qt, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 1, h, Dk),
+                             lambda b, g, qt, *_: (b, qt, g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, S_cmp, Dk),
+                             lambda b, g, qt, *_: (b, g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_cmp, S_sel), lambda b, g, qt, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, n_top),
+                                   lambda b, g, qt, *_: (b, g, qt, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
         out_shape=jax.ShapeDtypeStruct((B, G, S, n_top), jnp.int32),
         interpret=interpret,
-    )(Q, K_cmp, M_csl.astype(jnp.float32))
+    )(t0, Q, K_cmp, M_csl.astype(jnp.float32))
     return out.transpose(0, 2, 1, 3)

@@ -29,6 +29,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+
 NEG_INF = float(np.finfo(np.float32).min)
 
 
@@ -45,9 +47,9 @@ def _compact_active(tile_active: jnp.ndarray):
 
 
 def _sel_flash_kernel(
-    order_ref, count_ref, q_ref, sel_ref, k_ref, v_ref, o_ref, *rest,
+    order_ref, count_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, o_ref, *rest,
     l_sel: int, scale: float, block_q: int, h: int, J: int, s_kv: int,
-    pos_offset: int, return_lse: bool = False,
+    return_lse: bool = False,
 ):
     if return_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
@@ -80,7 +82,7 @@ def _sel_flash_kernel(
         sel_q = sel_ref[0, 0]                              # [Tq, n]
         member = jnp.any(sel_q == blk, axis=-1)            # [Tq]
         kpos = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
-        tpos = (pos_offset + qt * block_q
+        tpos = (t0_ref[0] + qt * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
         mask = member[:, None] & (kpos <= tpos)            # [Tq, l_sel]
         mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
@@ -132,7 +134,7 @@ def _tile_active(sel_idx: jnp.ndarray, nq: int, block_q: int, J: int) -> jnp.nda
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_sel", "scale", "pos_offset", "block_q", "interpret",
+    static_argnames=("l_sel", "scale", "block_q", "interpret",
                      "q_chunk", "return_lse"),
 )
 def selection_flash_pallas(
@@ -143,7 +145,7 @@ def selection_flash_pallas(
     *,
     l_sel: int,
     scale: float,
-    pos_offset: int = 0,   # t of row s is pos_offset + s
+    pos_offset=0,          # t of row s is pos_offset + s (int or traced scalar)
     block_q: int = 128,
     interpret: bool = False,
     q_chunk: int = 4096,
@@ -180,7 +182,7 @@ def selection_flash_pallas(
     J = pl.cdiv(S_kv, l_sel)          # total kv blocks (grid bound)
     order, count = _compact_active(_tile_active(sel_idx, nq, block_q, J))
 
-    def kv_index(b, g, qt, j, order_ref, count_ref):
+    def kv_index(b, g, qt, j, order_ref, count_ref, t0_ref):
         blk = order_ref[b, g, qt, jnp.minimum(j, jnp.maximum(count_ref[b, g, qt] - 1, 0))]
         return (b, g, blk, 0)
 
@@ -197,7 +199,7 @@ def selection_flash_pallas(
         out_shape = [out_shape, jax.ShapeDtypeStruct((B, G, S * h, 1), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, G, nq, J),
         in_specs=[
             pl.BlockSpec((1, block_q, 1, h, Dk),
@@ -218,23 +220,24 @@ def selection_flash_pallas(
     )
     kernel = functools.partial(
         _sel_flash_kernel, l_sel=l_sel, scale=scale, block_q=block_q,
-        h=h, J=J, s_kv=S_kv, pos_offset=pos_offset, return_lse=return_lse,
+        h=h, J=J, s_kv=S_kv, return_lse=return_lse,
     )
+    t0 = _as_t0(pos_offset)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(order, count, Q, sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3), K, V)
+    )(order, count, t0, Q, sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3), K, V)
 
 
 # --------------------------- backward kernels ---------------------------
 
 
 def _sel_dq_kernel(
-    order_ref, count_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
+    order_ref, count_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, dq_ref, acc_scr,
-    *, l_sel, scale, block_q, h, J, s_kv, pos_offset,
+    *, l_sel, scale, block_q, h, J, s_kv,
 ):
     b = pl.program_id(0)
     g = pl.program_id(1)
@@ -260,7 +263,7 @@ def _sel_dq_kernel(
         sel_q = sel_ref[0, 0]
         member = jnp.any(sel_q == blk, axis=-1)
         kpos = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
-        tpos = (pos_offset + qt * block_q
+        tpos = (t0_ref[0] + qt * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
         mask = member[:, None] & (kpos <= tpos)
         mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
@@ -288,9 +291,9 @@ def _sel_dq_kernel(
 
 
 def _sel_dkv_kernel(
-    orderq_ref, countq_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
+    orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-    *, l_sel, scale, block_q, h, NQ, s_kv, pos_offset,
+    *, l_sel, scale, block_q, h, NQ, s_kv,
 ):
     b = pl.program_id(0)
     g = pl.program_id(1)
@@ -317,7 +320,7 @@ def _sel_dkv_kernel(
         sel_q = sel_ref[0, 0]
         member = jnp.any(sel_q == j, axis=-1)
         kpos = j * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
-        tpos = (pos_offset + qt * block_q
+        tpos = (t0_ref[0] + qt * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
         mask = member[:, None] & (kpos <= tpos)
         mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
@@ -348,7 +351,7 @@ def _sel_dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_sel", "scale", "pos_offset", "block_q", "interpret", "q_chunk"),
+    static_argnames=("l_sel", "scale", "block_q", "interpret", "q_chunk"),
 )
 def selection_flash_bwd(
     Q, K, V, sel_idx, dO, lse, delta,
@@ -389,19 +392,19 @@ def selection_flash_bwd(
 
     sel_t = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)       # [B,G,S,n]
 
-    def kv_index(b, g, qt, j, order_ref, count_ref):
+    def kv_index(b, g, qt, j, order_ref, count_ref, t0_ref):
         blk = order_ref[b, g, qt, jnp.minimum(j, jnp.maximum(count_ref[b, g, qt] - 1, 0))]
         return (b, g, blk, 0)
 
+    t0 = _as_t0(pos_offset)
     stat_spec = pl.BlockSpec((1, 1, block_q * h, 1),
                              lambda b, g, qt, j, *_: (b, g, qt, 0),
                              memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_sel_dq_kernel, l_sel=l_sel, scale=scale,
-                          block_q=block_q, h=h, J=J, s_kv=S_kv,
-                          pos_offset=pos_offset),
+                          block_q=block_q, h=h, J=J, s_kv=S_kv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, G, nq, J),
             in_specs=[
                 pl.BlockSpec((1, block_q, 1, h, Dk),
@@ -424,25 +427,24 @@ def selection_flash_bwd(
         ),
         out_shape=jax.ShapeDtypeStruct(Q.shape, Q.dtype),
         interpret=interpret,
-    )(order, count, Q, sel_t, K, V, dO, lse, delta)
+    )(order, count, t0, Q, sel_t, K, V, dO, lse, delta)
 
-    def q_index(b, g, j, qi, orderq_ref, countq_ref):
+    def q_index(b, g, j, qi, orderq_ref, countq_ref, t0_ref=None):
         qt = orderq_ref[b, g, j, jnp.minimum(qi, jnp.maximum(countq_ref[b, g, j] - 1, 0))]
         return qt
 
     dk, dv = pl.pallas_call(
         functools.partial(_sel_dkv_kernel, l_sel=l_sel, scale=scale,
-                          block_q=block_q, h=h, NQ=nq, s_kv=S_kv,
-                          pos_offset=pos_offset),
+                          block_q=block_q, h=h, NQ=nq, s_kv=S_kv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, G, J, nq),
             in_specs=[
                 pl.BlockSpec((1, block_q, 1, h, Dk),
-                             lambda b, g, j, qi, oq, cq: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
+                             lambda b, g, j, qi, oq, cq, t0: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_q, n),
-                             lambda b, g, j, qi, oq, cq: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             lambda b, g, j, qi, oq, cq, t0: (b, g, q_index(b, g, j, qi, oq, cq), 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, l_sel, Dk),
                              lambda b, g, j, qi, *_: (b, g, j, 0),
@@ -451,13 +453,13 @@ def selection_flash_bwd(
                              lambda b, g, j, qi, *_: (b, g, j, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, 1, h, Dv),
-                             lambda b, g, j, qi, oq, cq: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
+                             lambda b, g, j, qi, oq, cq, t0: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, j, qi, oq, cq: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             lambda b, g, j, qi, oq, cq, t0: (b, g, q_index(b, g, j, qi, oq, cq), 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, j, qi, oq, cq: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             lambda b, g, j, qi, oq, cq, t0: (b, g, q_index(b, g, j, qi, oq, cq), 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -476,5 +478,5 @@ def selection_flash_bwd(
             jax.ShapeDtypeStruct(V.shape, V.dtype),
         ],
         interpret=interpret,
-    )(order_q, count_q, Q, sel_t, K, V, dO, lse, delta)
+    )(order_q, count_q, t0, Q, sel_t, K, V, dO, lse, delta)
     return dq, dk, dv

@@ -1,0 +1,163 @@
+"""Context (sequence) parallel prefill over a mesh `sp` axis.
+
+The reference has NO sequence parallelism (SURVEY.md §5: no ring
+attention / context parallel / Ulysses anywhere in the tree); long
+context is handled by NSA sparsity + single-device chunked prefill. On
+TPU the natural upgrade is mesh sequence sharding (shard_map), which this
+module provides:
+
+  * queries are sharded over `sp`: each device projects + RoPEs its own
+    S/sp token slice and computes attention for its rows only;
+  * K/V are all-gathered over ICI per branch. For NSA this is the right
+    trade: K_cmp is S/d-compressed (16x smaller), selection can address
+    any block (gather-based partitioning would need data-dependent
+    communication), and the showcase-scale KV (G=2, d_k=64) is a few MB
+    per 64k tokens — ICI bandwidth dwarfs the recompute alternative.
+    (SURVEY.md §7.1: "keep K_sel replicated per host for the 125M
+    showcase; revisit ring-gather only if model size demands it".)
+  * per-shard query positions enter the Pallas kernels as a traced
+    `t_start` scalar (scalar prefetch), so banded/prefix tile skipping
+    still works on shifted rows;
+  * backward: shard_map transposes the all_gathers to reduce_scatters
+    and psums the replicated-parameter cotangents — the ICI-collective
+    equivalent of DDP gradient bucketing.
+
+Composes with data parallelism: mesh ("dp", "sp", "tp"), batch rows over
+dp, sequence over sp.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.8
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                          check_vma=check_rep)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.core.nsa import combine_branches, project_qkv
+from nsa_vibe_tpu.ops import attention as attn_ops
+from nsa_vibe_tpu.ops.attention import resolve_kernel
+from nsa_vibe_tpu.ops.block_index import build_block_meta, num_cmp_blocks
+from nsa_vibe_tpu.ops.compress import pool_phi_rope_kv
+from nsa_vibe_tpu.ops.rope import apply_rope
+from nsa_vibe_tpu.ops.selection import select_topn_blocks, selection_scores
+
+
+def num_cmp_traced(s_raw: jnp.ndarray, l: int, d: int) -> jnp.ndarray:
+    """Traced num_cmp(s) = (s-l)//d + 1 for s >= l else 0 (jnp version of
+    ops.block_index.num_cmp_blocks for use under shard_map)."""
+    return jnp.where(s_raw >= l, (s_raw - l) // d + 1, 0).astype(jnp.int32)
+
+
+def context_parallel_prefill(
+    params: dict,
+    x: jnp.ndarray,
+    cfg: NSAConfig,
+    mesh: Mesh,
+    axis: str = "sp",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Sequence-sharded batched prefill. x: [B, S, dim] with S divisible
+    by mesh.shape[axis]. Returns out [B, S, dim] (sharded over `axis` on
+    S; also over `batch_axis` on B when given). Differentiable — use it
+    directly inside a loss."""
+    B, S, _ = x.shape
+    sp = mesh.shape[axis]
+    if S % sp != 0:
+        raise ValueError(f"S={S} not divisible by sp={sp}")
+    S_local = S // sp
+    if S_local % cfg.l_sel != 0:
+        raise ValueError(
+            f"S/sp={S_local} must be a multiple of l_sel={cfg.l_sel} "
+            "(selection blocks must not straddle shard boundaries)"
+        )
+
+    meta = build_block_meta(S, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
+    S_cmp = int(num_cmp_blocks(S, cfg.l, cfg.d))
+    M = jnp.asarray(meta.M_csl[:S_cmp])
+    scale = 1.0 / float(np.sqrt(cfg.d_k))
+    G, h = cfg.n_kv_groups, cfg.h_per_group
+    impl, interpret = resolve_kernel(cfg.kernel)
+
+    def shard_fn(params, x_local):
+        t0 = jax.lax.axis_index(axis).astype(jnp.int32) * S_local
+        t_pos = t0 + jnp.arange(S_local, dtype=jnp.int32)
+
+        Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(
+            params, x_local, cfg
+        )
+        Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
+        Q = Q.reshape(x_local.shape[0], S_local, G, h, cfg.d_k)
+        K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
+        K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
+
+        # K/V all-gather over ICI (bwd: reduce_scatter)
+        def gather(a):
+            return jax.lax.all_gather(a, axis, axis=2, tiled=True)
+
+        K_sel_f, V_sel_f = gather(K_sel), gather(V_sel)
+        K_win_f, V_win_f = gather(K_win), gather(V_win)
+        K_raw_f, V_raw_f = gather(K_cmp_raw), gather(V_cmp_raw)
+
+        # ϕ-compression over the full gathered raw stream (the ϕ windows
+        # straddle shard boundaries; recomputing the pooled stream per
+        # shard is O(S·D) — negligible next to attention)
+        K_cmp, V_cmp = pool_phi_rope_kv(
+            K_raw_f, V_raw_f, cfg.l, cfg.d,
+            pos=jnp.arange(S, dtype=jnp.int32),
+            k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
+            rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
+        )
+        num_cmp_t = jnp.minimum(num_cmp_traced(t_pos + 1, cfg.l, cfg.d), S_cmp)
+
+        if impl == "pallas":
+            from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
+
+            sel_idx = nsa_select_pallas(
+                jax.lax.stop_gradient(Q), jax.lax.stop_gradient(K_cmp), M,
+                scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
+                n_top=cfg.n_sel, force_init=cfg.force_init,
+                force_local=cfg.force_local, pos_offset=t0,
+                interpret=interpret,
+            )
+        else:
+            p_grp = selection_scores(Q, K_cmp, M, scale, num_cmp_t)
+            sel_idx = select_topn_blocks(
+                p_grp, cfg.n_sel, t_pos, cfg.l_sel, cfg.force_init, cfg.force_local
+            )
+        sel_idx = jax.lax.stop_gradient(sel_idx)
+
+        O_cmp = attn_ops.compressed_attention(
+            Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
+            t_start=t0,
+        )
+        O_sel = attn_ops.selection_attention(
+            Q, K_sel_f, V_sel_f, sel_idx, t_pos, cfg.l_sel, scale,
+            kernel=cfg.kernel, pos_offset=t0,
+        )
+        O_win = attn_ops.sliding_window_attention(
+            Q, K_win_f, V_win_f, t_pos, cfg.w, scale, kernel=cfg.kernel,
+            t_start=t0,
+        )
+        out, _ = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
+        return out
+
+    b_ax = batch_axis
+    x_spec = P(b_ax, axis, None)
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), x_spec),
+        out_specs=x_spec,
+        check_rep=False,
+    )(params, x)

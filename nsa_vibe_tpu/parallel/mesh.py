@@ -31,17 +31,22 @@ def initialize_distributed(coordinator: Optional[str] = None) -> None:
         pass  # already initialized or single-process
 
 
-def make_mesh(dp: Optional[int] = None, tp: int = 1, devices: Optional[Sequence] = None) -> Mesh:
+def make_mesh(
+    dp: Optional[int] = None, tp: int = 1, sp: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """(dp, sp, tp) mesh: batch over dp, sequence over sp (context-parallel
+    prefill, parallel/context.py), heads/hidden over tp."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        if n % tp != 0:
-            raise ValueError(f"{n} devices not divisible by tp={tp}")
-        dp = n // tp
-    if dp * tp != n:
-        raise ValueError(f"mesh {dp}x{tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        if n % (tp * sp) != 0:
+            raise ValueError(f"{n} devices not divisible by sp*tp={sp * tp}")
+        dp = n // (tp * sp)
+    if dp * sp * tp != n:
+        raise ValueError(f"mesh {dp}x{sp}x{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 # --- sharding rules -------------------------------------------------------

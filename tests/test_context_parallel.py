@@ -1,0 +1,127 @@
+"""Context-parallel (sequence-sharded) prefill parity.
+
+Runs on the 8-virtual-device CPU mesh (conftest). Oracle: single-device
+nsa_prefill. Covers the shifted-query kernel machinery (traced t_start
+scalar prefetch) both via shard_map and directly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+from nsa_vibe_tpu.parallel.context import context_parallel_prefill
+from nsa_vibe_tpu.parallel.mesh import make_mesh
+
+CFG = NSAConfig(dim=64, n_heads=4, n_kv_groups=2, d_k=32, d_v=32,
+                l=8, d=4, l_sel=16, n_sel=4, w=16, kernel="reference")
+
+
+def _setup(S=128, B=2, cfg=CFG):
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg.dim))
+    return params, x
+
+
+@pytest.mark.parametrize("sp", [2, 4, 8])
+def test_cp_prefill_matches_single_device(sp):
+    params, x = _setup()
+    mesh = make_mesh(sp=sp, devices=jax.devices()[:sp])
+    out_ref, _ = jax.jit(lambda p, x: nsa_prefill(p, x, CFG))(params, x)
+    out_cp = jax.jit(
+        lambda p, x: context_parallel_prefill(p, x, CFG, mesh)
+    )(params, x)
+    mae = float(jnp.abs(out_cp - out_ref).mean())
+    assert mae < 1e-5, f"sp={sp} MAE {mae}"
+
+
+def test_cp_prefill_pallas_interpret():
+    cfg = CFG.replace(kernel="pallas")
+    params, x = _setup(cfg=cfg)
+    mesh = make_mesh(sp=4, devices=jax.devices()[:4])
+    out_ref, _ = jax.jit(lambda p, x: nsa_prefill(p, x, CFG))(params, x)
+    out_cp = jax.jit(
+        lambda p, x: context_parallel_prefill(p, x, cfg, mesh)
+    )(params, x)
+    mae = float(jnp.abs(out_cp - out_ref).mean())
+    assert mae < 2e-5, f"pallas cp MAE {mae}"
+
+
+def test_cp_prefill_gradients_match():
+    params, x = _setup(S=64)
+    mesh = make_mesh(sp=4, devices=jax.devices()[:4])
+
+    def loss_single(p, x):
+        out, _ = nsa_prefill(p, x, CFG)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    def loss_cp(p, x):
+        out = context_parallel_prefill(p, x, CFG, mesh)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_ref = jax.jit(jax.grad(loss_single))(params, x)
+    g_cp = jax.jit(jax.grad(loss_cp))(params, x)
+    for path, a, b in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves(g_ref),
+        jax.tree_util.tree_leaves(g_cp),
+    ):
+        mae = float(jnp.abs(a - b).mean())
+        scale = float(jnp.abs(a).mean()) + 1e-8
+        assert mae / scale < 1e-4, f"{path[0]}: rel grad MAE {mae / scale}"
+
+
+def test_cp_with_data_parallel_axes():
+    """dp x sp composed mesh: batch rows over dp, sequence over sp."""
+    params, x = _setup(S=64, B=2)
+    mesh = make_mesh(dp=2, sp=4, devices=jax.devices()[:8])
+    out_ref, _ = jax.jit(lambda p, x: nsa_prefill(p, x, CFG))(params, x)
+    out_cp = jax.jit(
+        lambda p, x: context_parallel_prefill(p, x, CFG, mesh, batch_axis="dp")
+    )(params, x)
+    mae = float(jnp.abs(out_cp - out_ref).mean())
+    assert mae < 1e-5, f"dp x sp MAE {mae}"
+
+
+def test_flash_banded_t_start_matches_slice():
+    """Direct kernel check: computing rows [off, off+Sq) with t_start=off
+    equals the same rows of the full-length kernel call."""
+    from nsa_vibe_tpu.ops.pallas.flash import flash_banded
+
+    B, S, G, h, Dk = 1, 96, 2, 2, 32
+    off, Sq = 32, 32
+    Q = jax.random.normal(jax.random.PRNGKey(0), (B, S, G, h, Dk))
+    K = jax.random.normal(jax.random.PRNGKey(1), (B, G, S, Dk))
+    V = jax.random.normal(jax.random.PRNGKey(2), (B, G, S, Dk))
+    for mode, kw in (("win", dict(w=16)), ("cmp", dict(l=8, d=4))):
+        full = flash_banded(Q, K, V, mode=mode, scale=0.125, interpret=True, **kw)
+        part = flash_banded(
+            Q[:, off:off + Sq], K, V, mode=mode, scale=0.125, interpret=True,
+            t_start=jnp.asarray([off], jnp.int32), **kw,
+        )
+        mae = float(jnp.abs(part - full[:, off:off + Sq]).mean())
+        assert mae < 1e-6, f"{mode}: t_start slice MAE {mae}"
+
+
+def test_sel_flash_traced_offset_matches_slice():
+    from nsa_vibe_tpu.ops.pallas.sel_flash import selection_flash_pallas
+    from nsa_vibe_tpu.ops.selection import select_topn_blocks
+
+    B, S, G, h, Dk, l_sel, n = 1, 64, 2, 2, 32, 16, 3
+    off, Sq = 32, 32
+    Q = jax.random.normal(jax.random.PRNGKey(0), (B, S, G, h, Dk))
+    K = jax.random.normal(jax.random.PRNGKey(1), (B, G, S, Dk))
+    V = jax.random.normal(jax.random.PRNGKey(2), (B, G, S, Dk))
+    p = jax.random.uniform(jax.random.PRNGKey(3), (B, S, G, S // l_sel))
+    t_pos = jnp.arange(S, dtype=jnp.int32)
+    sel = select_topn_blocks(p, n, t_pos, l_sel)
+    full = selection_flash_pallas(Q, K, V, sel, l_sel=l_sel, scale=0.125,
+                                  interpret=True)
+    part = selection_flash_pallas(
+        Q[:, off:], K, V, sel[:, off:], l_sel=l_sel, scale=0.125,
+        pos_offset=jnp.asarray([off], jnp.int32), interpret=True,
+    )
+    mae = float(jnp.abs(part - full[:, off:]).mean())
+    assert mae < 1e-6, f"sel traced offset MAE {mae}"
