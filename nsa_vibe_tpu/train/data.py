@@ -118,14 +118,37 @@ def fineweb_docs(
                 yield tokenize_bytes(text)
 
 
+def pack_token_stream_native(
+    docs: Iterable[np.ndarray], seq_len: int, batch_size: int
+) -> Iterator[np.ndarray]:
+    """pack_token_stream through the C++ ring-buffer packer
+    (nsa_vibe_tpu.native) — identical output, no per-doc Python
+    concatenation. Raises RuntimeError when the native lib is missing."""
+    from nsa_vibe_tpu.native import ByteStreamPacker
+
+    packer = ByteStreamPacker(seq_len, batch_size)
+    try:
+        for doc in docs:
+            if doc.size == 0:
+                continue
+            packer.feed(doc)
+            while (b := packer.next_batch()) is not None:
+                yield b
+    finally:
+        packer.close()
+
+
 def make_batches(
     source: str,
     seq_len: int,
     batch_size: int,
     shard: Shard = Shard(),
     seed: int = 0,
+    native: Optional[bool] = None,
 ) -> Iterator[np.ndarray]:
-    """source: 'synthetic' | path to .jsonl/.txt | 'fineweb[:name]'."""
+    """source: 'synthetic' | path to .jsonl/.txt | 'fineweb[:name]'.
+    native: True = require the C++ packer, False = pure python,
+    None = auto (native when buildable)."""
     if source == "synthetic":
         docs: Iterator[np.ndarray] = synthetic_docs(seed + shard.rem)
     elif source.startswith("fineweb"):
@@ -135,7 +158,14 @@ def make_batches(
         docs = local_docs(source, shard)
     else:
         raise ValueError(f"unknown data source: {source}")
-    yield from pack_token_stream(docs, seq_len, batch_size)
+    if native is None:
+        from nsa_vibe_tpu.native import native_available
+
+        native = native_available()
+    if native:
+        yield from pack_token_stream_native(docs, seq_len, batch_size)
+    else:
+        yield from pack_token_stream(docs, seq_len, batch_size)
 
 
 def collate_varlen(
