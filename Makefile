@@ -1,0 +1,42 @@
+# Developer entry points (reference: Makefile venv/cpu-tests/bench targets).
+PY ?= python
+CPU_ENV = JAX_PLATFORMS=cpu PYTHONPATH=.
+
+.PHONY: test test-fast lint bench bench-decode bench-prefill bench-train \
+        smoke readiness demo-64k dryrun
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/test_block_math.py tests/test_selection.py \
+	  tests/test_decode.py tests/test_config_and_gates.py -q
+
+lint:
+	$(PY) -m ruff check nsa_vibe_tpu tests bench scripts
+
+bench:            # real-chip decode latency (driver metric)
+	$(PY) bench.py
+
+bench-decode:
+	$(PY) bench/bench_decode.py --branches --csv artifacts/decode.csv
+
+bench-prefill:
+	$(PY) bench/bench_prefill.py
+
+bench-train:
+	$(PY) bench/bench_train.py --batch 8 --seq 2048
+
+smoke:
+	$(CPU_ENV) $(PY) -m nsa_vibe_tpu.train.trainer --steps 20 --data synthetic \
+	  --batch-size 4 --seq-len 64 --n-layers 1 --log-every 5
+
+readiness:
+	$(CPU_ENV) $(PY) scripts/run_readiness.py
+
+demo-64k:
+	$(PY) scripts/demo_64k.py
+
+dryrun:
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+	  PYTHONPATH= $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

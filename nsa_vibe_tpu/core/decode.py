@@ -166,3 +166,24 @@ def nsa_decode_step(
         gates=gates,
     )
     return out, new_cache, info
+
+
+def nsa_prefill_via_decode(
+    params: dict, x: jnp.ndarray, cache: NSACache, cfg: NSAConfig
+) -> Tuple[jnp.ndarray, NSACache]:
+    """Prefill by scanning the decode step over tokens — the per-token
+    oracle (reference `_forward_prefill_sequential` /
+    `NSA_PREFILL_TILE`, nsa_attention.py:1507-1723). One jitted
+    lax.scan: exact decode semantics (ring caches, emission schedule)
+    applied to a whole sequence. Used as a parity oracle and for
+    memory-constrained incremental prefill.
+
+    x: [B, S, dim]; cache must have capacity >= cache.t + S.
+    Returns (out [B, S, dim], cache')."""
+
+    def step(cache, x_t):
+        out_t, cache, _ = nsa_decode_step(params, x_t[:, None, :], cache, cfg)
+        return cache, out_t[:, 0]
+
+    cache, outs = jax.lax.scan(step, cache, x.transpose(1, 0, 2))
+    return outs.transpose(1, 0, 2), cache

@@ -1,0 +1,59 @@
+"""Decode-latency perf guard: compare a bench.py result to a baseline.
+
+Reference: .github/workflows/ci_decode_perf_guard.yml +
+scripts/bench_snapshot_baseline.py — fail CI when decode latency regresses
+more than --tol vs the snapshotted JSON baseline; --snapshot records a new
+baseline from the current run.
+
+Usage:
+  python bench.py | tee bench.json
+  python scripts/check_decode_guard.py bench.json baselines/tpu_decode_guard.json
+  python scripts/check_decode_guard.py bench.json baselines/tpu_decode_guard.json --snapshot
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("result")
+    ap.add_argument("baseline")
+    ap.add_argument("--tol", type=float, default=0.05)
+    ap.add_argument("--snapshot", action="store_true")
+    args = ap.parse_args()
+
+    with open(args.result) as f:
+        lines = [ln for ln in f if ln.strip().startswith("{")]
+    result = json.loads(lines[-1])
+
+    if args.snapshot or not os.path.exists(args.baseline):
+        os.makedirs(os.path.dirname(args.baseline) or ".", exist_ok=True)
+        with open(args.baseline, "w") as f:
+            json.dump({result["metric"]: result["value"]}, f, indent=2)
+        print(f"snapshotted baseline {result['metric']}={result['value']}")
+        return
+
+    with open(args.baseline) as f:
+        baseline = json.load(f)
+    base = baseline.get(result["metric"])
+    if base is None or base <= 0:
+        print(f"no baseline value for {result['metric']} — skipping (placeholder)")
+        return
+    ratio = result["value"] / base
+    status = "ok" if ratio <= 1 + args.tol else "REGRESSION"
+    print(json.dumps({
+        "metric": result["metric"], "value": result["value"],
+        "baseline": base, "ratio": round(ratio, 4),
+        "tol": args.tol, "status": status,
+    }))
+    if status != "ok":
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
