@@ -112,22 +112,26 @@ def nsa_prefill(
     scale = 1.0 / float(np.sqrt(cfg.d_k))
     t_pos = jnp.arange(pos_offset, pos_offset + S, dtype=jnp.int32)
 
-    Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(params, x, cfg)
-    # per-head RoPE (pos broadcast over the head axis). Note: the reference
-    # ropes the *flattened* [S, H*Dk] query (nsa_attention.py:552), giving
-    # each head a different frequency band than its K — we deliberately use
-    # the correct per-head rotation instead.
-    Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
-    Q = Q.reshape(B, S, G, h, cfg.d_k)
-    K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
-    K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
+    # profiling stage names mirror the reference's NVTX ranges
+    # (nsa_attention.py:990-1121): proj+rope, phi, pcmp/map/topk, branches
+    with jax.named_scope("nsa.proj_rope"):
+        Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(params, x, cfg)
+        # per-head RoPE (pos broadcast over the head axis). Note: the reference
+        # ropes the *flattened* [S, H*Dk] query (nsa_attention.py:552), giving
+        # each head a different frequency band than its K — we deliberately use
+        # the correct per-head rotation instead.
+        Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
+        Q = Q.reshape(B, S, G, h, cfg.d_k)
+        K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
+        K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
 
     # ϕ-compressed stream (RoPE inside, at absolute positions)
-    K_cmp, V_cmp = pool_phi_rope_kv(
-        K_cmp_raw, V_cmp_raw, cfg.l, cfg.d, pos=t_pos,
-        k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
-        rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
-    )
+    with jax.named_scope("nsa.phi"):
+        K_cmp, V_cmp = pool_phi_rope_kv(
+            K_cmp_raw, V_cmp_raw, cfg.l, cfg.d, pos=t_pos,
+            k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
+            rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
+        )
     S_cmp = K_cmp.shape[2]
     # static per-position visible-compressed-token counts
     num_cmp_t = jnp.asarray(
@@ -146,52 +150,57 @@ def nsa_prefill(
     impl, interpret = _resolve_kernel(cfg.kernel)
     # fused scorer needs M + accumulators resident in VMEM
     scorer_vmem = 4 * (S_cmp * meta.S_sel + 128 * h * meta.S_sel + 512 * cfg.d_k)
-    if impl == "pallas" and scorer_vmem < 8 * 2**20:
-        from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
+    with jax.named_scope("nsa.score_select"):
+        if impl == "pallas" and scorer_vmem < 8 * 2**20:
+            from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
 
-        # selection is gradient-free (top-k kills grads); stop_gradient on
-        # the *inputs* keeps the kernel off every JVP trace path
-        sel_idx = nsa_select_pallas(
-            jax.lax.stop_gradient(Q), jax.lax.stop_gradient(K_cmp), M,
-            scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
-            n_top=cfg.n_sel, force_init=cfg.force_init,
-            force_local=cfg.force_local, pos_offset=pos_offset,
-            interpret=interpret,
-        )
-    else:
-        def score_and_select(q_c, t_c, nct_c):
-            p_grp = selection_scores(q_c, K_cmp, M, scale, nct_c)    # [B,c,G,S_sel]
-            return select_topn_blocks(
-                p_grp, cfg.n_sel, t_c, cfg.l_sel, cfg.force_init, cfg.force_local
+            # selection is gradient-free (top-k kills grads); stop_gradient on
+            # the *inputs* keeps the kernel off every JVP trace path
+            sel_idx = nsa_select_pallas(
+                jax.lax.stop_gradient(Q), jax.lax.stop_gradient(K_cmp), M,
+                scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
+                n_top=cfg.n_sel, force_init=cfg.force_init,
+                force_local=cfg.force_local, pos_offset=pos_offset,
+                interpret=interpret,
             )
-
-        chunk = cfg.prefill_chunk
-        if chunk > 0 and S > chunk and S % chunk == 0:
-            nchunk = S // chunk
-            Qc = Q.reshape(B, nchunk, chunk, G, h, cfg.d_k).transpose(1, 0, 2, 3, 4, 5)
-            tc = t_pos.reshape(nchunk, chunk)
-            nctc = num_cmp_t.reshape(nchunk, chunk)
-            sel_idx = jax.lax.map(lambda a: score_and_select(*a), (Qc, tc, nctc))
-            sel_idx = sel_idx.transpose(1, 0, 2, 3, 4).reshape(B, S, G, cfg.n_sel)
         else:
-            sel_idx = score_and_select(Q, t_pos, num_cmp_t)          # [B,S,G,n]
+            def score_and_select(q_c, t_c, nct_c):
+                p_grp = selection_scores(q_c, K_cmp, M, scale, nct_c)  # [B,c,G,S_sel]
+                return select_topn_blocks(
+                    p_grp, cfg.n_sel, t_c, cfg.l_sel, cfg.force_init, cfg.force_local
+                )
+
+            chunk = cfg.prefill_chunk
+            if chunk > 0 and S > chunk and S % chunk == 0:
+                nchunk = S // chunk
+                Qc = Q.reshape(B, nchunk, chunk, G, h, cfg.d_k).transpose(1, 0, 2, 3, 4, 5)
+                tc = t_pos.reshape(nchunk, chunk)
+                nctc = num_cmp_t.reshape(nchunk, chunk)
+                sel_idx = jax.lax.map(lambda a: score_and_select(*a), (Qc, tc, nctc))
+                sel_idx = sel_idx.transpose(1, 0, 2, 3, 4).reshape(B, S, G, cfg.n_sel)
+            else:
+                sel_idx = score_and_select(Q, t_pos, num_cmp_t)        # [B,S,G,n]
     sel_idx = jax.lax.stop_gradient(sel_idx)
 
     # three branches (Pallas on TPU, jnp reference oracle per cfg.kernel)
-    O_cmp = attn_ops.compressed_attention(
-        Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
-        t_start=pos_offset,
-    )
-    O_sel = attn_ops.selection_attention(
-        Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,
-        pos_offset=pos_offset,
-    )
-    O_win = attn_ops.sliding_window_attention(
-        Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel,
-        t_start=pos_offset,
-    )
+    with jax.named_scope("nsa.branch_cmp"):
+        O_cmp = attn_ops.compressed_attention(
+            Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
+            t_start=pos_offset,
+        )
+    with jax.named_scope("nsa.branch_sel"):
+        O_sel = attn_ops.selection_attention(
+            Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,
+            pos_offset=pos_offset,
+        )
+    with jax.named_scope("nsa.branch_win"):
+        O_win = attn_ops.sliding_window_attention(
+            Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel,
+            t_start=pos_offset,
+        )
 
-    out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
+    with jax.named_scope("nsa.gate_out"):
+        out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
     aux = {
         "gates": gates,
         "sel_idx": sel_idx,

@@ -60,19 +60,26 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
         logits, auxes = model_forward(params, tok_row[:, :-1], mcfg, collect_aux=True)
         loss = cross_entropy_loss(logits, tok_row[:, 1:])
         gates = jnp.stack([a["gates"] for a in auxes]).astype(jnp.float32)  # [L,B,S,G,3]
-        return loss, gates
+        sel = jnp.stack([a["sel_idx"] for a in auxes])                      # [L,B,S,G,n]
+        return loss, (gates, sel)
 
     def micro(carry, tok_row):
         params, grad_acc, loss_acc, gate_acc = carry
-        (loss, gates), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, tok_row)
+        (loss, (gates, sel)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, tok_row
+        )
         grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
         g = gates.reshape(-1, 3)
         entropy = -jnp.sum(g * jnp.log(g + 1e-8), axis=-1)
         max_gate = jnp.max(g, axis=-1)
+        # selection k-stats (reference k_stats.csv, nsa_attention.py:455-507):
+        # mean/max distinct selected blocks per (t, g) row
+        k_per_row = (sel >= 0).sum(axis=-1).astype(jnp.float32)
         stats = jnp.array([
             entropy.mean(), max_gate.mean(),
             ((entropy < 0.1) & (max_gate > 0.95)).astype(jnp.float32).mean(),
             *g.mean(axis=0),
+            k_per_row.mean(), k_per_row.max(),
         ])
         return (params, grad_acc, loss_acc + loss, gate_acc + stats), None
 
@@ -81,7 +88,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         (_, grads, loss_sum, gate_sum), _ = jax.lax.scan(
             micro,
-            (state.params, zeros, jnp.zeros((), jnp.float32), jnp.zeros((6,), jnp.float32)),
+            (state.params, zeros, jnp.zeros((), jnp.float32), jnp.zeros((8,), jnp.float32)),
             tokens,
         )
         inv = 1.0 / float(accum)
@@ -110,6 +117,8 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
             "gate_max": gate_stats[1],
             "gate_collapse_frac": gate_stats[2],
             "branch_shares": gate_stats[3:6],
+            "sel_k_mean": gate_stats[6],
+            "sel_k_max": gate_stats[7],
             "tokens": jnp.asarray(tokens.shape[0] * tokens.shape[1] * (tokens.shape[2] - 1), jnp.int32),
         }
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics

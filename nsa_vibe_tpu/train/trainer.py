@@ -79,7 +79,8 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
 
 
 def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
-          resume: bool = False, watchdog_in_process: bool = False) -> dict:
+          resume: bool = False, watchdog_in_process: bool = False,
+          profile_steps: int = 0) -> dict:
     """Run training; returns summary dict (final loss, toks/s, steps done)."""
     run_dir = tcfg.out_dir
     os.makedirs(run_dir, exist_ok=True)
@@ -129,7 +130,7 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
     if new_csv:
         csv_w.writerow(["step", "loss", "toks_per_s", "grad_norm", "gate_entropy",
                         "gate_max", "gate_collapse_frac", "share_cmp", "share_sel",
-                        "share_win", "bad_steps"])
+                        "share_win", "sel_k_mean", "sel_k_max", "bad_steps"])
 
     if watchdog_in_process:
         import threading
@@ -147,7 +148,19 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
     step = start_step
     summary_toks = 0.0
 
+    # device trace over a few post-compile steps (reference NVTX/profiler
+    # tooling, SURVEY.md §5; view with tensorboard/xprof or Perfetto)
+    prof_start = start_step + 2
+    prof_active = False
+
     for step in range(start_step, tcfg.steps):
+        if profile_steps and rank == 0:
+            if step == prof_start:
+                jax.profiler.start_trace(os.path.join(run_dir, "profile"))
+                prof_active = True
+            elif prof_active and step == prof_start + profile_steps:
+                jax.profiler.stop_trace()
+                prof_active = False
         if os.path.exists(halt_path):
             print(f"[trainer] .HALT detected at step {step}; exiting gracefully", flush=True)
             break
@@ -185,6 +198,8 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
                    f"{float(metrics['gate_max']):.4f}",
                    f"{float(metrics['gate_collapse_frac']):.4f}",
                    f"{shares[0]:.4f}", f"{shares[1]:.4f}", f"{shares[2]:.4f}",
+                   f"{float(metrics['sel_k_mean']):.2f}",
+                   f"{float(metrics['sel_k_max']):.0f}",
                    total_bad]
             csv_w.writerow(row)
             csv_f.flush()
@@ -205,6 +220,8 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
         if tcfg.save_every and (step + 1) % tcfg.save_every == 0 and rank == 0:
             save_checkpoint(ckpt_dir, step + 1, state)
 
+    if prof_active:
+        jax.profiler.stop_trace()
     if rank == 0:
         save_checkpoint(ckpt_dir, int(state.step), state)
     csv_f.close()
@@ -239,6 +256,8 @@ def main() -> None:
     ap.add_argument("--tp", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--watchdog", action="store_true", help="in-process watchdog thread")
+    ap.add_argument("--profile", type=int, default=0, metavar="N",
+                    help="trace N steps with jax.profiler into out_dir/profile")
     args = ap.parse_args()
 
     mcfg, tcfg, data = load_config(args.config)
@@ -246,7 +265,8 @@ def main() -> None:
     if args.data is not None:
         data = args.data
     summary = train(mcfg, tcfg, data, resume=args.resume,
-                    watchdog_in_process=args.watchdog)
+                    watchdog_in_process=args.watchdog,
+                    profile_steps=args.profile)
     print(json.dumps({"summary": summary}), flush=True)
 
 
