@@ -51,15 +51,52 @@ def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
     return dt / iters * 1e3  # ms/step
 
 
+def bench_decode_chained(S: int = 1024, iters: int = 64) -> float:
+    """True device latency: `iters` decode steps inside ONE jitted lax.scan
+    (the per-dispatch tunnel overhead dominates the loop-of-dispatches
+    timing above; the cache carry makes each step data-dependent)."""
+    import jax.lax as lax
+
+    from nsa_vibe_tpu.core.cache import cache_from_prefill
+    from nsa_vibe_tpu.core.config import NSAConfig
+    from nsa_vibe_tpu.core.decode import nsa_decode_step
+    from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+
+    cfg = NSAConfig(dim=256, n_heads=4, n_kv_groups=2, d_k=64, d_v=64,
+                    l=32, d=16, l_sel=64, n_sel=16, w=512)
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    x_ctx = jax.random.normal(jax.random.PRNGKey(1), (1, S, cfg.dim), jnp.bfloat16)
+    _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x_ctx)
+    cache = cache_from_prefill(cfg, aux, capacity=S + 2 * iters + 8)
+    x_tok = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.dim), jnp.bfloat16)
+
+    @jax.jit
+    def run(cache):
+        def step(c, _):
+            out, c, _ = nsa_decode_step(params, x_tok, c, cfg)
+            return c, out[0, 0, 0]
+        c, outs = lax.scan(step, cache, None, length=iters)
+        return c, outs
+
+    cache, outs = run(cache)          # compile + warm
+    _ = float(outs[-1])
+    t0 = time.perf_counter()
+    cache, outs = run(cache)
+    _ = float(outs[-1])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
 def main() -> None:
     S = 1024
     ms = bench_decode(S)
+    ms_chained = bench_decode_chained(S)
     base = BASELINE_MS[S]
     print(json.dumps({
         "metric": f"decode_ms_per_step_S{S}",
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(base / ms, 3),  # >1 = faster than reference 4090
+        "ms_per_step_chained": round(ms_chained, 4),  # device-only latency
     }))
 
 

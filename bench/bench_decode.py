@@ -19,6 +19,11 @@ Run: python bench/bench_decode.py [--S 512,1024,2048,4096] [--iters 64]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import csv
 import json

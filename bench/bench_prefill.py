@@ -11,6 +11,11 @@ Run: python bench/bench_prefill.py [--S 512,1024,2048,4096] [--grad]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

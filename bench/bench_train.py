@@ -10,6 +10,11 @@ Run: python bench/bench_train.py [--batch 8] [--seq 2048] [--steps 8] [--remat]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -54,6 +54,8 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
 
     kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret,
               t_start=t_start)
+    if mode == "win":
+        kw["block_k"] = 512   # v5e-tuned: fewer, larger banded kv tiles
 
     @jax.custom_vjp
     def f(Q, K, V):

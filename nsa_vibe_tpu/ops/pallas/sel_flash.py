@@ -47,10 +47,18 @@ def _compact_active(tile_active: jnp.ndarray):
 
 
 def _sel_flash_kernel(
-    order_ref, count_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, o_ref, *rest,
-    l_sel: int, scale: float, block_q: int, h: int, J: int, s_kv: int,
-    return_lse: bool = False,
+    order_ref, count_ref, t0_ref, q_ref, sel_ref, *rest,
+    l_sel: int, scale: float, block_q: int, h: int, Jg: int, KB: int,
+    s_kv: int, return_lse: bool = False,
 ):
+    """One grid step processes KB selection blocks: KB parallel K/V DMAs
+    feed a single [Tq*h, KB*l_sel] matmul. With one block per step the
+    grid is DMA-latency-bound (~2 us/step on v5e); KB amortizes that
+    fixed cost and raises MXU occupancy."""
+    k_refs = rest[:KB]
+    v_refs = rest[KB:2 * KB]
+    o_ref = rest[2 * KB]
+    rest = rest[2 * KB + 1:]
     if return_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -68,36 +76,52 @@ def _sel_flash_kernel(
 
     cnt = count_ref[b, g, qt]
 
-    @pl.when(j < cnt)
+    @pl.when(j * KB < cnt)
     def _compute():
-        blk = order_ref[b, g, qt, j]
         q = q_ref[0, :, 0]                                 # [Tq, h, Dk]
         Dk = q.shape[2]
         qf = q.reshape(block_q * h, Dk)                    # rows t-major
-        k = k_ref[0, 0]                                    # [l_sel, Dk]
-        logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                          # [Tq*h, l_sel]
-
         sel_q = sel_ref[0, 0]                              # [Tq, n]
-        member = jnp.any(sel_q == blk, axis=-1)            # [Tq]
-        kpos = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
         tpos = (t0_ref[0] + qt * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
-        mask = member[:, None] & (kpos <= tpos)            # [Tq, l_sel]
-        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
-            block_q * h, l_sel
-        )
-        logits = jnp.where(mask, logits, NEG_INF)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+        last = jnp.maximum(cnt - 1, 0)
+        subs = []
+        ks = []
+        vs = []
+        for i in range(KB):
+            jdx = j * KB + i
+            blk_i = order_ref[b, g, qt, jnp.minimum(jdx, last)]
+            live = jdx < cnt                               # padded slot -> dead
+            member = jnp.any(sel_q == blk_i, axis=-1) & live
+            kpos = blk_i * l_sel + kiota
+            # float 0/1 masks: Mosaic cannot concatenate i1 vectors
+            subs.append(
+                (member[:, None] & (kpos <= tpos)).astype(jnp.float32)
+            )                                              # [Tq, l_sel]
+            vrow = blk_i * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
+            # zero OOB rows of BOTH K and V: padded-block memory can be
+            # inf/NaN, which additive masking does not cancel
+            ks.append(jnp.where(vrow < s_kv, k_refs[i][0, 0], 0))
+            vs.append(jnp.where(vrow < s_kv, v_refs[i][0, 0], 0))
+        logits = jax.lax.dot_general(
+            qf, jnp.concatenate(ks, axis=0),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                          # [Tq*h, KB*l_sel]
+        maskf = jnp.concatenate(subs, axis=-1)             # [Tq, KB*l_sel]
+        maskf = jnp.broadcast_to(
+            maskf[:, None, :], (block_q, h, KB * l_sel)
+        ).reshape(block_q * h, KB * l_sel)
+        # additive masking: one FMA per element (vs compare+select chains);
+        # exp(-1e30) underflows to exactly 0 so no post-zeroing needed
+        logits = logits + (maskf - 1.0) * 1e30
 
         m_prev = m_scr[:]
         m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.where(mask, jnp.exp(logits - m_new), 0.0)
+        p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
-        v = v_ref[0, 0]                                    # [l_sel, Dv]
-        vrow = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
-        v = jnp.where(vrow < s_kv, v, 0)                   # OOB padding guard
+        v = jnp.concatenate(vs, axis=0)                    # [KB*l_sel, Dv]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -105,7 +129,7 @@ def _sel_flash_kernel(
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = m_new
 
-    @pl.when(j == J - 1)
+    @pl.when(j == Jg - 1)
     def _finalize():
         denom = l_scr[:]
         out = acc_scr[:] / jnp.where(denom > 0, denom, 1.0)
@@ -134,7 +158,7 @@ def _tile_active(sel_idx: jnp.ndarray, nq: int, block_q: int, J: int) -> jnp.nda
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_sel", "scale", "block_q", "interpret",
+    static_argnames=("l_sel", "scale", "block_q", "kv_batch", "interpret",
                      "q_chunk", "return_lse"),
 )
 def selection_flash_pallas(
@@ -147,6 +171,7 @@ def selection_flash_pallas(
     scale: float,
     pos_offset=0,          # t of row s is pos_offset + s (int or traced scalar)
     block_q: int = 128,
+    kv_batch: int = 8,     # selection blocks fetched per grid step
     interpret: bool = False,
     q_chunk: int = 4096,
     return_lse: bool = False,
@@ -165,7 +190,8 @@ def selection_flash_pallas(
             r = selection_flash_pallas(
                 Qc[i], K, V, selc[i], l_sel=l_sel, scale=scale,
                 pos_offset=pos_offset + i * q_chunk, block_q=block_q,
-                interpret=interpret, q_chunk=q_chunk, return_lse=return_lse,
+                kv_batch=kv_batch, interpret=interpret, q_chunk=q_chunk,
+                return_lse=return_lse,
             )
             if return_lse:
                 outs.append(r[0]); lses.append(r[1])
@@ -179,12 +205,17 @@ def selection_flash_pallas(
 
     block_q = min(block_q, max(S, 8))
     nq = pl.cdiv(S, block_q)
-    J = pl.cdiv(S_kv, l_sel)          # total kv blocks (grid bound)
+    J = pl.cdiv(S_kv, l_sel)          # total kv blocks
+    KB = max(1, min(kv_batch, J))     # selection blocks per grid step
+    Jg = pl.cdiv(J, KB)               # grid steps over kv blocks
     order, count = _compact_active(_tile_active(sel_idx, nq, block_q, J))
 
-    def kv_index(b, g, qt, j, order_ref, count_ref, t0_ref):
-        blk = order_ref[b, g, qt, jnp.minimum(j, jnp.maximum(count_ref[b, g, qt] - 1, 0))]
-        return (b, g, blk, 0)
+    def kv_index(i):
+        def index(b, g, qt, j, order_ref, count_ref, t0_ref):
+            last = jnp.maximum(count_ref[b, g, qt] - 1, 0)
+            blk = order_ref[b, g, qt, jnp.minimum(j * KB + i, last)]
+            return (b, g, blk, 0)
+        return index
 
     out_specs = pl.BlockSpec(
         (1, block_q, 1, h, Dv), lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
@@ -200,7 +231,7 @@ def selection_flash_pallas(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(B, G, nq, J),
+        grid=(B, G, nq, Jg),
         in_specs=[
             pl.BlockSpec((1, block_q, 1, h, Dk),
                          lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
@@ -208,8 +239,10 @@ def selection_flash_pallas(
             pl.BlockSpec((1, 1, block_q, n),
                          lambda b, g, qt, j, *_: (b, g, qt, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l_sel, Dk), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, l_sel, Dv), kv_index, memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((1, 1, l_sel, Dk), kv_index(i), memory_space=pltpu.VMEM)
+              for i in range(KB)],
+            *[pl.BlockSpec((1, 1, l_sel, Dv), kv_index(i), memory_space=pltpu.VMEM)
+              for i in range(KB)],
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -220,25 +253,28 @@ def selection_flash_pallas(
     )
     kernel = functools.partial(
         _sel_flash_kernel, l_sel=l_sel, scale=scale, block_q=block_q,
-        h=h, J=J, s_kv=S_kv, return_lse=return_lse,
+        h=h, Jg=Jg, KB=KB, s_kv=S_kv, return_lse=return_lse,
     )
     t0 = _as_t0(pos_offset)
+    sel_t = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(order, count, t0, Q, sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3), K, V)
+    )(order, count, t0, Q, sel_t, *([K] * KB), *([V] * KB))
 
 
 # --------------------------- backward kernels ---------------------------
 
 
 def _sel_dq_kernel(
-    order_ref, count_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
-    delta_ref, dq_ref, acc_scr,
-    *, l_sel, scale, block_q, h, J, s_kv,
+    order_ref, count_ref, t0_ref, q_ref, sel_ref, *rest,
+    l_sel, scale, block_q, h, Jg, KB, s_kv,
 ):
+    k_refs = rest[:KB]
+    v_refs = rest[KB:2 * KB]
+    do_ref, lse_ref, delta_ref, dq_ref, acc_scr = rest[2 * KB:]
     b = pl.program_id(0)
     g = pl.program_id(1)
     qt = pl.program_id(2)
@@ -250,41 +286,53 @@ def _sel_dq_kernel(
 
     cnt = count_ref[b, g, qt]
 
-    @pl.when(j < cnt)
+    @pl.when(j * KB < cnt)
     def _compute():
-        blk = order_ref[b, g, qt, j]
         q = q_ref[0, :, 0]
         Dk = q.shape[2]
         qf = q.reshape(block_q * h, Dk)
-        k = k_ref[0, 0]
+        sel_q = sel_ref[0, 0]
+        tpos = (t0_ref[0] + qt * block_q
+                + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+        last = jnp.maximum(cnt - 1, 0)
+        subs, ks, vs = [], [], []
+        for i in range(KB):
+            jdx = j * KB + i
+            blk_i = order_ref[b, g, qt, jnp.minimum(jdx, last)]
+            live = jdx < cnt
+            member = jnp.any(sel_q == blk_i, axis=-1) & live
+            kpos = blk_i * l_sel + kiota
+            subs.append((member[:, None] & (kpos <= tpos)).astype(jnp.float32))
+            krow = blk_i * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
+            ks.append(jnp.where(krow < s_kv, k_refs[i][0, 0], 0))
+            vs.append(jnp.where(krow < s_kv, v_refs[i][0, 0], 0))
+        k = jnp.concatenate(ks, axis=0)                    # [KB*l_sel, Dk]
+        v = jnp.concatenate(vs, axis=0)
+        maskf = jnp.concatenate(subs, axis=-1)             # [Tq, KB*l_sel]
+        maskf = jnp.broadcast_to(
+            maskf[:, None, :], (block_q, h, KB * l_sel)
+        ).reshape(block_q * h, KB * l_sel)
+
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        sel_q = sel_ref[0, 0]
-        member = jnp.any(sel_q == blk, axis=-1)
-        kpos = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
-        tpos = (t0_ref[0] + qt * block_q
-                + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
-        mask = member[:, None] & (kpos <= tpos)
-        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
-            block_q * h, l_sel)
         lse = lse_ref[0, 0]
-        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)
+        p = jnp.exp(logits + (maskf - 1.0) * 1e30 - lse) * maskf
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
         dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
-        vrow = blk * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
-        vf = jnp.where(vrow < s_kv, v_ref[0, 0], 0).astype(jnp.float32)
         dpv = jax.lax.dot_general(
-            dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            dof, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         delta = delta_ref[0, 0]
         ds = p * (dpv - delta)
-        kf = jnp.where(vrow < s_kv, k, 0).astype(jnp.float32)
         acc_scr[:] += scale * jax.lax.dot_general(
-            ds, kf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    @pl.when(j == J - 1)
+    @pl.when(j == Jg - 1)
     def _finalize():
         Dk = dq_ref.shape[4]
         dq_ref[0, :, 0] = acc_scr[:].reshape(block_q, h, Dk).astype(dq_ref.dtype)
@@ -293,11 +341,14 @@ def _sel_dq_kernel(
 def _sel_dkv_kernel(
     orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-    *, l_sel, scale, block_q, h, NQ, s_kv,
+    *, l_sel, scale, block_q, h, NQ, KB, s_kv,
 ):
+    """kv-major pass over KB-wide contiguous kv tiles ([KB*l_sel, D] — kv
+    blocks are visited in order here, so no gather is needed): per tile,
+    loop compacted active q-tiles and accumulate dK/dV."""
     b = pl.program_id(0)
     g = pl.program_id(1)
-    j = pl.program_id(2)   # kv block
+    jg = pl.program_id(2)  # kv tile (KB selection blocks)
     qi = pl.program_id(3)  # compacted q-tile step
 
     @pl.when(qi == 0)
@@ -305,36 +356,43 @@ def _sel_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    cnt = countq_ref[b, g, j]
+    cnt = countq_ref[b, g, jg]
 
     @pl.when(qi < cnt)
     def _compute():
-        qt = orderq_ref[b, g, j, qi]
+        qt = orderq_ref[b, g, jg, jnp.minimum(qi, jnp.maximum(cnt - 1, 0))]
         q = q_ref[0, :, 0]
         Dk = q.shape[2]
         qf = q.reshape(block_q * h, Dk)
-        k = k_ref[0, 0]
+        k = k_ref[0, 0]                                    # [KB*l_sel, Dk]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         sel_q = sel_ref[0, 0]
-        member = jnp.any(sel_q == j, axis=-1)
-        kpos = j * l_sel + jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
         tpos = (t0_ref[0] + qt * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
-        mask = member[:, None] & (kpos <= tpos)
-        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, l_sel)).reshape(
-            block_q * h, l_sel)
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+        subs = []
+        for i in range(KB):
+            blk_i = jg * KB + i
+            member = jnp.any(sel_q == blk_i, axis=-1)
+            kpos = blk_i * l_sel + kiota
+            subs.append((member[:, None] & (kpos <= tpos)).astype(jnp.float32))
+        maskf = jnp.concatenate(subs, axis=-1)             # [Tq, KB*l_sel]
+        maskf = jnp.broadcast_to(
+            maskf[:, None, :], (block_q, h, KB * l_sel)
+        ).reshape(block_q * h, KB * l_sel)
         lse = lse_ref[0, 0]
-        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)
+        p = jnp.exp(logits + (maskf - 1.0) * 1e30 - lse) * maskf
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
         dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
         dv_scr[:] += jax.lax.dot_general(
             p, dof, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        vrow = j * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
-        vf = jnp.where(vrow < s_kv, v_ref[0, 0], 0).astype(jnp.float32)
+        krow = (jg * KB * l_sel
+                + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
+        vf = jnp.where(krow < s_kv, v_ref[0, 0], 0).astype(jnp.float32)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         delta = delta_ref[0, 0]
@@ -351,11 +409,13 @@ def _sel_dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("l_sel", "scale", "block_q", "interpret", "q_chunk"),
+    static_argnames=("l_sel", "scale", "block_q", "kv_batch", "interpret",
+                     "q_chunk"),
 )
 def selection_flash_bwd(
     Q, K, V, sel_idx, dO, lse, delta,
-    *, l_sel, scale, pos_offset=0, block_q=128, interpret=False, q_chunk=4096,
+    *, l_sel, scale, pos_offset=0, block_q=128, kv_batch=8, interpret=False,
+    q_chunk=4096,
 ):
     """Backward of selection_flash_pallas. lse/delta: row-flat
     [B, G, S*h, 1] f32 (row = t*h + head). Returns (dQ, dK, dV); dK/dV
@@ -376,7 +436,8 @@ def selection_flash_bwd(
                 Q[:, sl], K, V, sel_idx[:, sl], dO[:, sl],
                 lse[:, :, slh], delta[:, :, slh],
                 l_sel=l_sel, scale=scale, pos_offset=pos_offset + i * q_chunk,
-                block_q=block_q, interpret=interpret, q_chunk=q_chunk,
+                block_q=block_q, kv_batch=kv_batch, interpret=interpret,
+                q_chunk=q_chunk,
             )
             dqs.append(dq_i)
             dk_total = dk_total + dk_i
@@ -386,15 +447,24 @@ def selection_flash_bwd(
     block_q = min(block_q, max(S, 8))
     nq = pl.cdiv(S, block_q)
     J = pl.cdiv(S_kv, l_sel)
+    KB = max(1, min(kv_batch, J))
+    Jg = pl.cdiv(J, KB)
     ta = _tile_active(sel_idx, nq, block_q, J)          # [B,G,nq,J]
     order, count = _compact_active(ta)                  # q-major
-    order_q, count_q = _compact_active(ta.transpose(0, 1, 3, 2))  # kv-major [B,G,J,nq]
+    # kv-major activity at KB-tile granularity: active iff any member block is
+    pad_j = Jg * KB - J
+    ta_g = ta if pad_j == 0 else jnp.pad(ta, ((0, 0), (0, 0), (0, 0), (0, pad_j)))
+    ta_g = ta_g.reshape(*ta.shape[:2], nq, Jg, KB).any(-1)        # [B,G,nq,Jg]
+    order_q, count_q = _compact_active(ta_g.transpose(0, 1, 3, 2))  # [B,G,Jg,nq]
 
     sel_t = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)       # [B,G,S,n]
 
-    def kv_index(b, g, qt, j, order_ref, count_ref, t0_ref):
-        blk = order_ref[b, g, qt, jnp.minimum(j, jnp.maximum(count_ref[b, g, qt] - 1, 0))]
-        return (b, g, blk, 0)
+    def kv_index(i):
+        def index(b, g, qt, j, order_ref, count_ref, t0_ref):
+            last = jnp.maximum(count_ref[b, g, qt] - 1, 0)
+            blk = order_ref[b, g, qt, jnp.minimum(j * KB + i, last)]
+            return (b, g, blk, 0)
+        return index
 
     t0 = _as_t0(pos_offset)
     stat_spec = pl.BlockSpec((1, 1, block_q * h, 1),
@@ -402,10 +472,10 @@ def selection_flash_bwd(
                              memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_sel_dq_kernel, l_sel=l_sel, scale=scale,
-                          block_q=block_q, h=h, J=J, s_kv=S_kv),
+                          block_q=block_q, h=h, Jg=Jg, KB=KB, s_kv=S_kv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, G, nq, J),
+            grid=(B, G, nq, Jg),
             in_specs=[
                 pl.BlockSpec((1, block_q, 1, h, Dk),
                              lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
@@ -413,8 +483,10 @@ def selection_flash_bwd(
                 pl.BlockSpec((1, 1, block_q, n),
                              lambda b, g, qt, j, *_: (b, g, qt, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, l_sel, Dk), kv_index, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, l_sel, Dv), kv_index, memory_space=pltpu.VMEM),
+                *[pl.BlockSpec((1, 1, l_sel, Dk), kv_index(i), memory_space=pltpu.VMEM)
+                  for i in range(KB)],
+                *[pl.BlockSpec((1, 1, l_sel, Dv), kv_index(i), memory_space=pltpu.VMEM)
+                  for i in range(KB)],
                 pl.BlockSpec((1, block_q, 1, h, Dv),
                              lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -427,56 +499,67 @@ def selection_flash_bwd(
         ),
         out_shape=jax.ShapeDtypeStruct(Q.shape, Q.dtype),
         interpret=interpret,
-    )(order, count, t0, Q, sel_t, K, V, dO, lse, delta)
+    )(order, count, t0, Q, sel_t, *([K] * KB), *([V] * KB), dO, lse, delta)
 
-    def q_index(b, g, j, qi, orderq_ref, countq_ref, t0_ref=None):
-        qt = orderq_ref[b, g, j, jnp.minimum(qi, jnp.maximum(countq_ref[b, g, j] - 1, 0))]
+    def q_index(b, g, jg, qi, orderq_ref, countq_ref, t0_ref=None):
+        qt = orderq_ref[b, g, jg, jnp.minimum(qi, jnp.maximum(countq_ref[b, g, jg] - 1, 0))]
         return qt
+
+    # kv padded to the KB-tile grid so kv blocks stay contiguous per step
+    KV_pad = Jg * KB * l_sel
+    if KV_pad != S_kv:
+        K_p = jnp.pad(K, ((0, 0), (0, 0), (0, KV_pad - S_kv), (0, 0)))
+        V_p = jnp.pad(V, ((0, 0), (0, 0), (0, KV_pad - S_kv), (0, 0)))
+    else:
+        K_p, V_p = K, V
 
     dk, dv = pl.pallas_call(
         functools.partial(_sel_dkv_kernel, l_sel=l_sel, scale=scale,
-                          block_q=block_q, h=h, NQ=nq, s_kv=S_kv),
+                          block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(B, G, J, nq),
+            grid=(B, G, Jg, nq),
             in_specs=[
                 pl.BlockSpec((1, block_q, 1, h, Dk),
-                             lambda b, g, j, qi, oq, cq, t0: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
+                             lambda b, g, jg, qi, oq, cq, t0: (b, q_index(b, g, jg, qi, oq, cq), g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_q, n),
-                             lambda b, g, j, qi, oq, cq, t0: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             lambda b, g, jg, qi, oq, cq, t0: (b, g, q_index(b, g, jg, qi, oq, cq), 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, l_sel, Dk),
-                             lambda b, g, j, qi, *_: (b, g, j, 0),
+                pl.BlockSpec((1, 1, KB * l_sel, Dk),
+                             lambda b, g, jg, qi, *_: (b, g, jg, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, l_sel, Dv),
-                             lambda b, g, j, qi, *_: (b, g, j, 0),
+                pl.BlockSpec((1, 1, KB * l_sel, Dv),
+                             lambda b, g, jg, qi, *_: (b, g, jg, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, 1, h, Dv),
-                             lambda b, g, j, qi, oq, cq, t0: (b, q_index(b, g, j, qi, oq, cq), g, 0, 0),
+                             lambda b, g, jg, qi, oq, cq, t0: (b, q_index(b, g, jg, qi, oq, cq), g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, j, qi, oq, cq, t0: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             lambda b, g, jg, qi, oq, cq, t0: (b, g, q_index(b, g, jg, qi, oq, cq), 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, j, qi, oq, cq, t0: (b, g, q_index(b, g, j, qi, oq, cq), 0),
+                             lambda b, g, jg, qi, oq, cq, t0: (b, g, q_index(b, g, jg, qi, oq, cq), 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, l_sel, Dk), lambda b, g, j, qi, *_: (b, g, j, 0),
+                pl.BlockSpec((1, 1, KB * l_sel, Dk), lambda b, g, jg, qi, *_: (b, g, jg, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, l_sel, Dv), lambda b, g, j, qi, *_: (b, g, j, 0),
+                pl.BlockSpec((1, 1, KB * l_sel, Dv), lambda b, g, jg, qi, *_: (b, g, jg, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((l_sel, Dk), jnp.float32),
-                pltpu.VMEM((l_sel, Dv), jnp.float32),
+                pltpu.VMEM((KB * l_sel, Dk), jnp.float32),
+                pltpu.VMEM((KB * l_sel, Dv), jnp.float32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct(K.shape, K.dtype),
-            jax.ShapeDtypeStruct(V.shape, V.dtype),
+            jax.ShapeDtypeStruct(K_p.shape, K.dtype),
+            jax.ShapeDtypeStruct(V_p.shape, V.dtype),
         ],
         interpret=interpret,
-    )(order_q, count_q, t0, Q, sel_t, K, V, dO, lse, delta)
+    )(order_q, count_q, t0, Q, sel_t, K_p, V_p, dO, lse, delta)
+    if KV_pad != S_kv:
+        dk = dk[:, :, :S_kv]
+        dv = dv[:, :, :S_kv]
     return dq, dk, dv

@@ -13,6 +13,11 @@ Run: python scripts/demo_64k.py [--S 65536] [--chunk 2048] [--rope-scale 1.0]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -15,6 +15,11 @@ Run: python scripts/env_guard.py [--strict] [--allow-cpu]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os

@@ -16,6 +16,11 @@ Run: python scripts/run_readiness.py [--out artifacts/readiness]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import os
