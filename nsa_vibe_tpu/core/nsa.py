@@ -148,10 +148,10 @@ def nsa_prefill(
     # O(prefill_chunk * S_cmp).
     M = jnp.asarray(meta.M_csl[:S_cmp])
     impl, interpret = _resolve_kernel(cfg.kernel)
-    # fused scorer needs M + accumulators resident in VMEM
-    scorer_vmem = 4 * (S_cmp * meta.S_sel + 128 * h * meta.S_sel + 512 * cfg.d_k)
+    from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
+
     with jax.named_scope("nsa.score_select"):
-        if impl == "pallas" and scorer_vmem < 8 * 2**20:
+        if impl == "pallas" and scorer_fits_vmem(h, meta.S_sel):
             from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
 
             # selection is gradient-free (top-k kills grads); stop_gradient on

@@ -38,12 +38,17 @@ NEG = float(np.finfo(np.float32).min)
 
 
 def _scorer_kernel(
-    t0_ref, q_ref, kc_ref, m_ref, o_ref,
+    t0_ref, q_ref, kc_ref, m_ref, o_ref, m_scr, l_scr, acc_scr,
     *, scale: float, l: int, d: int, l_sel: int,
     n_top: int, n_forced: int, force_init: bool, force_local: int,
-    block_q: int, h: int, cmp_chunk: int, s_cmp: int, s_sel: int,
+    block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
 ):
+    """Grid-streamed over S_cmp chunks: the Eq. 9 map M is tiled through
+    VMEM by BlockSpec one [cmp_chunk, S_sel] slab at a time, so S_cmp is
+    unbounded (64k+ prefill) while the p_slc accumulator stays
+    [rows, S_sel] in scratch."""
     qt = pl.program_id(2)
+    c = pl.program_id(3)
     q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
     Dk = q.shape[2]
     qf = q.reshape(block_q * h, Dk)
@@ -55,30 +60,44 @@ def _scorer_kernel(
     num_cmp = jnp.where(s_raw >= l, (s_raw - l) // d + 1, 0)          # [Tq,1]
     num_cmp_r = jnp.broadcast_to(num_cmp[:, None, :], (block_q, h, 1)).reshape(rows, 1)
 
-    # --- online-softmax over S_cmp chunks, accumulating p_slc = p @ M ---
-    m_run = jnp.full((rows, 1), NEG, jnp.float32)
-    l_run = jnp.zeros((rows, 1), jnp.float32)
-    acc = jnp.zeros((rows, s_sel), jnp.float32)
-    n_chunks = pl.cdiv(s_cmp, cmp_chunk)
-    for c in range(n_chunks):
-        k = kc_ref[0, 0, pl.ds(c * cmp_chunk, cmp_chunk), :]          # [C, Dk]
-        logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                                     # [rows, C]
-        cidx = (c * cmp_chunk
-                + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
-        visible = (cidx < num_cmp_r) & (cidx < s_cmp)                 # [rows, C]
-        logits = jnp.where(visible, logits, NEG)
-        m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
-        p = jnp.where(visible, jnp.exp(logits - m_new), 0.0)
-        alpha = jnp.exp(m_run - m_new)
-        l_run = l_run * alpha + p.sum(axis=-1, keepdims=True)
-        mc = m_ref[pl.ds(c * cmp_chunk, cmp_chunk), :]                # [C, S_sel]
-        acc = acc * alpha + jax.lax.dot_general(
-            p, mc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        m_run = m_new
+    @pl.when(c == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
+    # --- online-softmax over this S_cmp chunk, accumulating p_slc = p @ M ---
+    k = kc_ref[0, 0]                                                  # [C, Dk]
+    logits = jax.lax.dot_general(
+        qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                                         # [rows, C]
+    cidx = (c * cmp_chunk
+            + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
+    visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]
+    logits = jnp.where(visible, logits, NEG)
+    m_run = m_scr[:]
+    m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.where(visible, jnp.exp(logits - m_new), 0.0)
+    alpha = jnp.exp(m_run - m_new)
+    l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+    mc = m_ref[:]                                                     # [C, S_sel]
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, mc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        _scorer_topn(
+            acc_scr[:], l_scr[:], tpos, o_ref,
+            l_sel=l_sel, n_top=n_top, n_forced=n_forced,
+            force_init=force_init, force_local=force_local,
+            block_q=block_q, h=h, s_sel=s_sel,
+        )
+
+
+def _scorer_topn(acc, l_run, tpos, o_ref, *, l_sel, n_top, n_forced,
+                 force_init, force_local, block_q, h, s_sel):
     p_slc = acc / jnp.where(l_run > 0, l_run, 1.0)
     p_slc = jnp.where(l_run > 0, p_slc, 0.0)                          # rows w/o cmp tokens
     p_grp = p_slc.reshape(block_q, h, s_sel).sum(axis=1)              # Eq. 10 [Tq, S_sel]
@@ -147,32 +166,62 @@ def nsa_select_pallas(
     block_q = min(block_q, max(S, 8))
     cmp_chunk = min(cmp_chunk, max(S_cmp, 8))
     nq = pl.cdiv(S, block_q)
+    n_chunks = pl.cdiv(S_cmp, cmp_chunk)
     n_forced = (1 if force_init else 0) + force_local
+    rows = block_q * h
+
+    # zero-pad the chunked axes: OOB block reads return garbage memory and
+    # NaN garbage would survive the p @ M matmul even where p == 0
+    pad = n_chunks * cmp_chunk - S_cmp
+    M_f = M_csl.astype(jnp.float32)
+    if pad:
+        K_cmp = jnp.pad(K_cmp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        M_f = jnp.pad(M_f, ((0, pad), (0, 0)))
 
     kernel = functools.partial(
         _scorer_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
         n_forced=n_forced, force_init=force_init, force_local=force_local,
-        block_q=block_q, h=h, cmp_chunk=cmp_chunk, s_cmp=S_cmp, s_sel=S_sel,
+        block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
+        s_cmp=S_cmp, s_sel=S_sel,
     )
     t0 = _as_t0(pos_offset)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(B, G, nq),
+            grid=(B, G, nq, n_chunks),
             in_specs=[
                 pl.BlockSpec((1, block_q, 1, h, Dk),
-                             lambda b, g, qt, *_: (b, qt, g, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, S_cmp, Dk),
-                             lambda b, g, qt, *_: (b, g, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((S_cmp, S_sel), lambda b, g, qt, *_: (0, 0),
+                             lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cmp_chunk, Dk),
+                             lambda b, g, qt, c, *_: (b, g, c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cmp_chunk, S_sel), lambda b, g, qt, c, *_: (c, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, n_top),
-                                   lambda b, g, qt, *_: (b, g, qt, 0),
+                                   lambda b, g, qt, c, *_: (b, g, qt, 0),
                                    memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((rows, 1), jnp.float32),
+                pltpu.VMEM((rows, 1), jnp.float32),
+                pltpu.VMEM((rows, S_sel), jnp.float32),
+            ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, S, n_top), jnp.int32),
         interpret=interpret,
-    )(t0, Q, K_cmp, M_csl.astype(jnp.float32))
+    )(t0, Q, K_cmp, M_f)
     return out.transpose(0, 2, 1, 3)
+
+
+def scorer_fits_vmem(h: int, S_sel: int, block_q: int = 128,
+                     cmp_chunk: int = 512, budget: int = 12 * 2**20) -> bool:
+    """Whether the streamed scorer's VMEM working set (f32 p_slc
+    accumulator + double-buffered M/K chunks + logits tile) fits. S_cmp
+    no longer matters — M streams through the grid."""
+    rows = block_q * h
+    need = 4 * (rows * S_sel          # acc scratch
+                + 2 * cmp_chunk * S_sel  # M chunk (double-buffered)
+                + rows * cmp_chunk)   # logits tile
+    return need < budget

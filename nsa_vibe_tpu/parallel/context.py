@@ -121,7 +121,9 @@ def context_parallel_prefill(
         )
         num_cmp_t = jnp.minimum(num_cmp_traced(t_pos + 1, cfg.l, cfg.d), S_cmp)
 
-        if impl == "pallas":
+        from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
+
+        if impl == "pallas" and scorer_fits_vmem(h, meta.S_sel):
             from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
 
             sel_idx = nsa_select_pallas(

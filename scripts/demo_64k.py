@@ -53,8 +53,11 @@ def main() -> None:
     params = init_nsa_params(jax.random.PRNGKey(0), cfg, dtype)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, args.S, cfg.dim), dtype)
 
+    prefill = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))
+    out, aux = prefill(params, x)           # compile + warm
+    _ = float(out[0, -1, 0])
     t0 = time.perf_counter()
-    out, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x)
+    out, aux = prefill(params, x)
     _ = float(out[0, -1, 0])
     prefill_s = time.perf_counter() - t0
     assert np.isfinite(np.asarray(out[:, -64:], np.float32)).all()
