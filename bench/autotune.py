@@ -1,0 +1,109 @@
+"""Kernel block-size autotuner: sweep -> configs/kernel_tuning.json.
+
+Reference analogue: bench/threshold_optimizer.py + apply_fa2_thresholds.py
+(bench-derived thresholds written back into configs). Here the tunables
+are Pallas grid/tile parameters; timing uses chained in-jit iteration
+(per-dispatch tunnel overhead otherwise dominates — see bench.py).
+
+Run on the target chip:  python bench/autotune.py [--write]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def chain_bench(fn, q0, iters=8):
+    @jax.jit
+    def run(q):
+        def body(q, _):
+            out = fn(q)
+            return (q + jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(q0.dtype), None
+        return jax.lax.scan(body, q, None, length=iters)[0]
+
+    r = run(q0)
+    _ = float(r.reshape(-1)[0].astype(jnp.float32))
+    t0 = time.perf_counter()
+    r = run(q0)
+    _ = float(r.reshape(-1)[0].astype(jnp.float32))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--B", type=int, default=16)
+    ap.add_argument("--S", type=int, default=2048)
+    ap.add_argument("--write", action="store_true",
+                    help="write winners to configs/kernel_tuning.json")
+    args = ap.parse_args()
+
+    from nsa_vibe_tpu.ops.block_index import num_cmp_blocks
+    from nsa_vibe_tpu.ops.pallas.flash import flash_banded
+    from nsa_vibe_tpu.ops.pallas.sel_flash import selection_flash_pallas
+    from nsa_vibe_tpu.ops.selection import select_topn_blocks
+
+    B, S, G, h, Dk = args.B, args.S, 2, 6, 64
+    l, d, l_sel, n_sel, w = 32, 16, 64, 16, 512
+    key = jax.random.PRNGKey(0)
+    Q = jax.random.normal(key, (B, S, G, h, Dk), jnp.bfloat16)
+    K = jax.random.normal(key, (B, G, S, Dk), jnp.bfloat16)
+    V = jax.random.normal(key, (B, G, S, Dk), jnp.bfloat16)
+    S_cmp = int(num_cmp_blocks(S, l, d))
+    Kc = jax.random.normal(key, (B, G, S_cmp, Dk), jnp.bfloat16)
+    Vc = jax.random.normal(key, (B, G, S_cmp, Dk), jnp.bfloat16)
+    sel = select_topn_blocks(
+        jax.random.uniform(key, (B, S, G, S // l_sel)), n_sel,
+        jnp.arange(S, dtype=jnp.int32), l_sel)
+
+    winners: dict = {}
+
+    def sweep(name, grid, make):
+        best = None
+        for cfgv in grid:
+            try:
+                ms = chain_bench(make(cfgv), Q)
+            except Exception as e:  # OOM / compile failure at this size
+                print(f"  {name} {cfgv}: FAIL ({str(e)[:60]})")
+                continue
+            print(f"  {name} {cfgv}: {ms:.2f} ms")
+            if best is None or ms < best[1]:
+                best = (cfgv, ms)
+        return best
+
+    print("win.block_k:")
+    b = sweep("win", [128, 256, 512, 1024],
+              lambda bk: lambda q: flash_banded(q, K, V, mode="win", w=w,
+                                                scale=0.125, block_k=bk))
+    winners["win.block_k"] = b[0]
+    print("cmp.block_k:")
+    b = sweep("cmp", [128, 256, 512],
+              lambda bk: lambda q: flash_banded(q, Kc, Vc, mode="cmp", l=l, d=d,
+                                                scale=0.125, block_k=bk))
+    winners["cmp.block_k"] = b[0]
+    print("sel.kv_batch:")
+    b = sweep("sel", [2, 4, 8, 16],
+              lambda kb: lambda q: selection_flash_pallas(
+                  q, K, V, sel, l_sel=l_sel, scale=0.125, kv_batch=kb))
+    winners["sel.kv_batch"] = b[0]
+
+    print(json.dumps(winners, indent=2))
+    if args.write:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs", "kernel_tuning.json")
+        with open(path, "w") as f:
+            json.dump(winners, f, indent=2)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,7 @@ from nsa_vibe_tpu.ops.pallas.sel_flash import (
     selection_flash_pallas,
 )
 from nsa_vibe_tpu.ops.pallas.selection import selection_attention_pallas
+from nsa_vibe_tpu.ops.tuning import tuned
 
 
 def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
@@ -54,8 +55,8 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
 
     kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret,
               t_start=t_start)
-    if mode == "win":
-        kw["block_k"] = 512   # v5e-tuned: fewer, larger banded kv tiles
+    kw["block_k"] = tuned(f"{mode}.block_k")
+    kw["block_q"] = tuned(f"{mode}.block_q")
 
     @jax.custom_vjp
     def f(Q, K, V):
@@ -74,7 +75,8 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
 
 
 def _sel_flash_vjp(sel_idx, l_sel: int, scale: float, pos_offset, interpret: bool):
-    kw = dict(l_sel=l_sel, scale=scale, pos_offset=pos_offset, interpret=interpret)
+    kw = dict(l_sel=l_sel, scale=scale, pos_offset=pos_offset, interpret=interpret,
+              kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
 
     @jax.custom_vjp
     def f(Q, K, V):

@@ -1,0 +1,47 @@
+"""Kernel tuning registry.
+
+TPU equivalent of the reference's bench-derived threshold plumbing
+(bench/threshold_optimizer.py + scripts/apply_fa2_thresholds.py, which
+wrote fa2_min_len_* back into configs): benchmark-derived block sizes
+live in configs/kernel_tuning.json, written by bench/autotune.py and read
+once at import. Defaults below are hand-tuned on TPU v5e.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Any
+
+DEFAULTS = {
+    "win.block_k": 512,     # banded kv tile (v5e, w=512)
+    "win.block_q": 128,
+    "cmp.block_k": 512,
+    "cmp.block_q": 128,
+    "sel.kv_batch": 8,      # selection blocks per grid step
+    "sel.block_q": 128,
+    "scorer.cmp_chunk": 512,
+    "scorer.block_q": 128,
+}
+
+_TUNING_PATH = os.environ.get(
+    "NSA_KERNEL_TUNING",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), "configs", "kernel_tuning.json"),
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _load() -> dict:
+    try:
+        with open(_TUNING_PATH) as f:
+            data = json.load(f)
+        return {**DEFAULTS, **{k: v for k, v in data.items() if k in DEFAULTS}}
+    except (OSError, ValueError):
+        return dict(DEFAULTS)
+
+
+def tuned(key: str, default: Any = None) -> Any:
+    """Look up a tuned kernel parameter (e.g. "win.block_k")."""
+    return _load().get(key, default if default is not None else DEFAULTS[key])
