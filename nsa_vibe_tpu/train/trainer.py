@@ -122,6 +122,16 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
     )
 
     hb = Heartbeat(os.path.join(run_dir, "heartbeat.jsonl"), rank)
+    # optional TensorBoard scalars (reference train_showcase.py TB output);
+    # torch's writer has no heavyweight deps and is gated on availability
+    tb = None
+    if rank == 0:
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb = SummaryWriter(os.path.join(run_dir, "tb"))
+        except Exception:
+            tb = None
     csv_path = os.path.join(run_dir, "training.csv")
     val_path = os.path.join(run_dir, "val.csv")
     new_csv = not (resume and os.path.exists(csv_path))
@@ -208,6 +218,14 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
                     gate_entropy=float(metrics["gate_entropy"]),
                     gate_max=float(metrics["gate_max"]),
                     gate_collapse_frac=float(metrics["gate_collapse_frac"]))
+            if tb is not None:
+                tb.add_scalar("train/loss", loss, step + 1)
+                tb.add_scalar("train/toks_per_s", toks_per_s, step + 1)
+                tb.add_scalar("train/grad_norm", float(metrics["grad_norm"]), step + 1)
+                tb.add_scalar("gate/entropy", float(metrics["gate_entropy"]), step + 1)
+                tb.add_scalar("gate/collapse_frac",
+                              float(metrics["gate_collapse_frac"]), step + 1)
+                tb.add_scalar("sel/k_mean", float(metrics["sel_k_mean"]), step + 1)
             print(f"[trainer] step {step+1} loss {loss:.4f} {toks_per_s:.0f} toks/s",
                   flush=True)
 
@@ -222,6 +240,8 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
 
     if prof_active:
         jax.profiler.stop_trace()
+    if tb is not None:
+        tb.close()
     if rank == 0:
         save_checkpoint(ckpt_dir, int(state.step), state)
     csv_f.close()

@@ -1,0 +1,75 @@
+"""Decode read-counter trend + kernel tuning registry contracts."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nsa_vibe_tpu.core.cache import init_cache
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.core.decode import nsa_decode_step
+from nsa_vibe_tpu.core.nsa import init_nsa_params
+from nsa_vibe_tpu.ops.block_index import num_cmp_blocks
+
+CFG = NSAConfig(dim=32, n_heads=2, n_kv_groups=1, d_k=16, d_v=16,
+                l=8, d=4, l_sel=8, n_sel=2, w=8, kernel="reference")
+
+
+def test_decode_reads_trend():
+    """Reference test_decode_reads_trend: reads grow with S following
+    num_cmp(S) + n*l' + min(w, S) — win saturates at w, cmp grows by 1
+    every d steps, sel is constant."""
+    params = init_nsa_params(jax.random.PRNGKey(0), CFG)
+    cache = init_cache(CFG, 1, capacity=64)
+    step = jax.jit(lambda p, x, c: nsa_decode_step(p, x, c, CFG))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, CFG.dim))
+    preds = []
+    for t in range(40):
+        _, cache, info = step(params, x, cache)
+        s = t + 1
+        expect = (int(num_cmp_blocks(s, CFG.l, CFG.d))
+                  + CFG.n_sel * CFG.l_sel + min(CFG.w, s))
+        assert int(info.reads_pred) == expect, (t, int(info.reads_pred), expect)
+        preds.append(int(info.reads_pred))
+    assert preds == sorted(preds)                       # monotone non-decreasing
+    # win saturated + cmp still growing at the tail
+    assert preds[-1] - preds[-CFG.d - 1] == 1
+
+
+def test_tuning_defaults_and_override(tmp_path, monkeypatch):
+    from nsa_vibe_tpu.ops import tuning
+
+    assert tuning.tuned("win.block_k") >= 128
+    assert tuning.tuned("sel.kv_batch") >= 1
+
+    # file override wins over defaults (autotune writes this file)
+    cfgf = tmp_path / "kernel_tuning.json"
+    cfgf.write_text(json.dumps({"win.block_k": 256, "bogus.key": 1}))
+    monkeypatch.setattr(tuning, "_TUNING_PATH", str(cfgf))
+    tuning._load.cache_clear()
+    try:
+        assert tuning.tuned("win.block_k") == 256
+        assert "bogus.key" not in tuning._load()        # unknown keys dropped
+        assert tuning.tuned("sel.kv_batch") == tuning.DEFAULTS["sel.kv_batch"]
+    finally:
+        tuning._load.cache_clear()
+
+
+def test_scorer_vmem_guard_scales():
+    from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
+
+    assert scorer_fits_vmem(h=6, S_sel=32)       # m7c @ 2k
+    assert scorer_fits_vmem(h=6, S_sel=1024)     # m7c @ 64k (streamed M)
+    assert not scorer_fits_vmem(h=6, S_sel=65536)  # absurd
+
+
+def test_decode_reads_independent_of_batch():
+    params = init_nsa_params(jax.random.PRNGKey(0), CFG)
+    step = jax.jit(lambda p, x, c: nsa_decode_step(p, x, c, CFG))
+    for B in (1, 3):
+        cache = init_cache(CFG, B, capacity=32)
+        x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, CFG.dim))
+        _, _, info = step(params, x, cache)
+        assert int(info.reads_pred) == CFG.n_sel * CFG.l_sel + 1
+        assert np.isfinite(float(info.sel_valid_tokens))
