@@ -59,23 +59,39 @@ _COL_SHARDED = {"W_Q", "W_K_sel", "W_V_sel", "W_K_win", "W_V_win", "W_K_cmp",
 _ROW_SHARDED = {"W_O", "w_out"}
 
 
-def _spec_for(name: str, ndim: int) -> P:
+def _spec_for(name: str, shape, fsdp_size: int, fsdp_min: int) -> P:
+    """tp shards heads/hidden; fsdp_size > 1 additionally shards the
+    largest remaining axis over dp (ZeRO-3-style fully-sharded parameters
+    + optimizer state — the reference's FSDP FULL_SHARD,
+    train_showcase_fsdp.py:434-441; XLA inserts the per-layer
+    all-gathers/reduce-scatters that FSDP does by hand)."""
+    ndim = len(shape)
+    spec = [None] * ndim
     if name in _COL_SHARDED and ndim == 2:
-        return P(None, "tp")
-    if name in _ROW_SHARDED and ndim == 2:
-        return P("tp", None)
-    return P()
+        spec[1] = "tp"
+    elif name in _ROW_SHARDED and ndim == 2:
+        spec[0] = "tp"
+    if fsdp_size > 1:
+        # largest un-sharded axis that splits evenly and is long enough
+        # (short axes stay replicated, like FSDP's min-wrap-size)
+        for i in sorted(range(ndim), key=lambda i: -shape[i]):
+            if spec[i] is None and shape[i] >= fsdp_min and shape[i] % fsdp_size == 0:
+                spec[i] = "dp"
+                break
+    return P(*spec)
 
 
-def param_specs(params) -> object:
-    """PartitionSpec pytree matching a parameter pytree (by leaf name)."""
+def param_specs(params, fsdp_size: int = 1, fsdp_min: int = 512) -> object:
+    """PartitionSpec pytree matching a parameter pytree (by leaf name).
+    fsdp_size = dp-axis size when fully-sharding parameters, 1 = pure
+    replication over dp (DDP-equivalent)."""
 
     def walk(node):
         if isinstance(node, dict):
             out = {}
             for k, v in node.items():
                 if hasattr(v, "ndim"):
-                    out[k] = _spec_for(k, v.ndim)
+                    out[k] = _spec_for(k, v.shape, fsdp_size, fsdp_min)
                 else:
                     out[k] = walk(v)
             return out
@@ -89,10 +105,11 @@ def param_specs(params) -> object:
     return walk(params)
 
 
-def param_shardings(params, mesh: Mesh):
+def param_shardings(params, mesh: Mesh, fsdp: bool = False, fsdp_min: int = 512):
+    fsdp_size = mesh.shape["dp"] if fsdp else 1
     return jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s),
-        param_specs(params),
+        param_specs(params, fsdp_size=fsdp_size, fsdp_min=fsdp_min),
         is_leaf=lambda x: isinstance(x, P),
     )
 

@@ -145,7 +145,11 @@ def build_state_and_step(params, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None
 
     batch_shard = None
     if mesh is not None:
-        params = jax.device_put(params, param_shardings(params, mesh))
+        params = jax.device_put(
+            params,
+            param_shardings(params, mesh, fsdp=tcfg.fsdp,
+                            fsdp_min=tcfg.fsdp_min_size),
+        )
         batch_shard = NamedSharding(mesh, P(None, "dp", None))  # [accum, B, S+1]
     state = init_train_state(params, tcfg)
     step_fn = jax.jit(make_train_step(mcfg, tcfg), donate_argnums=(0,))

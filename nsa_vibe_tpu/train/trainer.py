@@ -61,7 +61,8 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
     t_over = {
         k: getattr(args, k)
         for k in ("steps", "batch_size", "seq_len", "accum_steps", "lr", "seed",
-                  "save_every", "eval_every", "log_every", "out_dir", "dp", "tp")
+                  "save_every", "eval_every", "log_every", "out_dir", "dp", "tp",
+                  "fsdp")
         if getattr(args, k, None) is not None
     }
     if t_over:
@@ -274,6 +275,8 @@ def main() -> None:
     ap.add_argument("--out-dir", dest="out_dir", default=None)
     ap.add_argument("--dp", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None)
+    ap.add_argument("--fsdp", action="store_true", default=None,
+                    help="fully shard params/optimizer over dp (ZeRO-3)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--watchdog", action="store_true", help="in-process watchdog thread")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
