@@ -46,49 +46,63 @@ def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
     return d.transpose(0, 2, 1, 3).reshape(B, G, S * h, 1)
 
 
-def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
-               t_start=None):
+def _int_cotangent(x):
+    """float0 cotangent for an integer-dtype primal (custom_vjp contract)."""
+    import numpy as _np
+
+    return _np.zeros(x.shape, jax.dtypes.float0)
+
+
+def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool):
     """custom_vjp with analytical Pallas forward AND backward (the
     reference-recompute backward materializes O(S^2) logits — 29 GB at
-    the m7c training shape). t_start (int or traced scalar) is closed
-    over — it is integer-typed, hence nondifferentiable by construction."""
+    the m7c training shape).
 
-    kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret,
-              t_start=t_start)
+    The traced int operands (t0) are explicit custom_vjp ARGUMENTS with
+    float0 cotangents — closing over traced values in a custom_vjp leaks
+    tracers when the surrounding function is rematerialized
+    (jax.checkpoint recomputes the forward during the backward trace)."""
+
+    kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret)
     kw["block_k"] = tuned(f"{mode}.block_k")
     kw["block_q"] = tuned(f"{mode}.block_q")
 
     @jax.custom_vjp
-    def f(Q, K, V):
-        return flash_banded(Q, K, V, **kw)
+    def f(t0, Q, K, V):
+        return flash_banded(Q, K, V, t_start=t0, **kw)
 
-    def fwd(Q, K, V):
-        O, lse = flash_banded(Q, K, V, return_lse=True, **kw)
-        return O, (Q, K, V, O, lse)
+    def fwd(t0, Q, K, V):
+        O, lse = flash_banded(Q, K, V, t_start=t0, return_lse=True, **kw)
+        return O, (t0, Q, K, V, O, lse)
 
     def bwd(res, g):
-        Q, K, V, O, lse = res
-        return flash_banded_bwd(Q, K, V, g, lse, _delta(g, O), **kw)
+        t0, Q, K, V, O, lse = res
+        dq, dk, dv = flash_banded_bwd(Q, K, V, g, lse, _delta(g, O),
+                                      t_start=t0, **kw)
+        return (_int_cotangent(t0), dq, dk, dv)
 
     f.defvjp(fwd, bwd)
     return f
 
 
-def _sel_flash_vjp(sel_idx, l_sel: int, scale: float, pos_offset, interpret: bool):
-    kw = dict(l_sel=l_sel, scale=scale, pos_offset=pos_offset, interpret=interpret,
+def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
+    kw = dict(l_sel=l_sel, scale=scale, interpret=interpret,
               kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
 
     @jax.custom_vjp
-    def f(Q, K, V):
-        return selection_flash_pallas(Q, K, V, sel_idx, **kw)
+    def f(sel_idx, t0, Q, K, V):
+        return selection_flash_pallas(Q, K, V, sel_idx, pos_offset=t0, **kw)
 
-    def fwd(Q, K, V):
-        O, lse = selection_flash_pallas(Q, K, V, sel_idx, return_lse=True, **kw)
-        return O, (Q, K, V, O, lse)
+    def fwd(sel_idx, t0, Q, K, V):
+        O, lse = selection_flash_pallas(Q, K, V, sel_idx, pos_offset=t0,
+                                        return_lse=True, **kw)
+        return O, (sel_idx, t0, Q, K, V, O, lse)
 
     def bwd(res, g):
-        Q, K, V, O, lse = res
-        return selection_flash_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O), **kw)
+        sel_idx, t0, Q, K, V, O, lse = res
+        dq, dk, dv = selection_flash_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O),
+                                         pos_offset=t0, **kw)
+        return (_int_cotangent(sel_idx), _int_cotangent(t0), dq, dk, dv)
 
     f.defvjp(fwd, bwd)
     return f
@@ -140,7 +154,9 @@ def sliding_window_attention(
     impl, interpret = resolve_kernel(kernel)
     if impl == "reference":
         return ref.sliding_window_attention(Q, K, V, t_pos, w, scale)
-    return _flash_vjp("win", w, 0, 1, scale, interpret, t_start)(Q, K, V)
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+
+    return _flash_vjp("win", w, 0, 1, scale, interpret)(_as_t0(t_start), Q, K, V)
 
 
 def compressed_attention(
@@ -151,7 +167,9 @@ def compressed_attention(
     impl, interpret = resolve_kernel(kernel)
     if impl == "reference":
         return ref.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
-    return _flash_vjp("cmp", 0, l, d, scale, interpret, t_start)(Q, K_cmp, V_cmp)
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+
+    return _flash_vjp("cmp", 0, l, d, scale, interpret)(_as_t0(t_start), Q, K_cmp, V_cmp)
 
 
 def selection_attention(
@@ -176,4 +194,7 @@ def selection_attention(
             lambda q, k, v: ref.selection_attention(q, k, v, sel_idx, t_pos, l_sel, scale),
         )
         return f(Q, K, V)
-    return _sel_flash_vjp(sel_idx, l_sel, scale, pos_offset, interpret)(Q, K, V)
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+
+    return _sel_flash_vjp(l_sel, scale, interpret)(
+        sel_idx, _as_t0(pos_offset), Q, K, V)

@@ -78,6 +78,8 @@ def _spec_for(name: str, shape, fsdp_size: int, fsdp_min: int) -> P:
             if spec[i] is None and shape[i] >= fsdp_min and shape[i] % fsdp_size == 0:
                 spec[i] = "dp"
                 break
+    while spec and spec[-1] is None:   # P(None, None) != P() to jax
+        spec.pop()
     return P(*spec)
 
 

@@ -142,7 +142,7 @@ def test_param_specs_cover_projections():
     params = init_model_params(jax.random.PRNGKey(0), MCFG)
     specs = param_specs(params)
     assert specs["blocks"][0]["attn"]["W_Q"] == jax.sharding.PartitionSpec(None, "tp")
-    assert specs["blocks"][0]["attn"]["W_O"] == jax.sharding.PartitionSpec("tp", None)
+    assert specs["blocks"][0]["attn"]["W_O"] == jax.sharding.PartitionSpec("tp")
     assert specs["embed"] == jax.sharding.PartitionSpec()
 
 
