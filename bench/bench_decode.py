@@ -47,12 +47,12 @@ def expected_reads(S: int, cfg: NSAConfig) -> int:
 
 def time_decode(params, cfg: NSAConfig, x_ctx, iters: int, warmup: int):
     """Prefill x_ctx then time `iters` decode steps. Returns (ms/step, info)."""
-    S = x_ctx.shape[1]
+    B, S = x_ctx.shape[0], x_ctx.shape[1]
     _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x_ctx)
     cache = cache_from_prefill(cfg, aux, capacity=S + iters + warmup + 8)
 
     step = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, cfg), donate_argnums=(2,))
-    x_tok = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.dim), x_ctx.dtype)
+    x_tok = jax.random.normal(jax.random.PRNGKey(2), (B, 1, cfg.dim), x_ctx.dtype)
 
     info = None
     for _ in range(warmup):
@@ -74,6 +74,7 @@ def main() -> None:
     ap.add_argument("--dim", type=int, default=256)
     ap.add_argument("--heads", type=int, default=4)
     ap.add_argument("--groups", type=int, default=2)
+    ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kernel", default="auto")
     ap.add_argument("--csv", default=None)
@@ -90,7 +91,7 @@ def main() -> None:
 
     rows = []
     for S in sweep:
-        x_ctx = jax.random.normal(jax.random.PRNGKey(1), (1, S, cfg.dim), dtype)
+        x_ctx = jax.random.normal(jax.random.PRNGKey(1), (args.batch, S, cfg.dim), dtype)
         ms_total, info = time_decode(params, cfg, x_ctx, args.iters, args.warmup)
         branch_ms = {}
         if args.branches:
@@ -101,6 +102,8 @@ def main() -> None:
         S_end = S + args.iters + args.warmup
         row = {
             "S": S,
+            "batch": args.batch,
+            "toks_per_s": round(args.batch / (ms_total / 1e3), 1),
             "ms_total": round(ms_total, 4),
             "ms_cmp": round(branch_ms["cmp"], 4) if "cmp" in branch_ms else None,
             "ms_sel": round(branch_ms["sel"], 4) if "sel" in branch_ms else None,

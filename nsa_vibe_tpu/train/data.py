@@ -41,6 +41,27 @@ def tokenize_bytes(text: str) -> np.ndarray:
     )
 
 
+def make_tokenizer(spec: str = "byte"):
+    """Tokenizer factory (reference data_pipeline.py batched-tokenization
+    variant, :84-163): "byte" (vocab 256, default) or "hf:<name_or_path>"
+    for a HuggingFace tokenizer (gated import; needs a local path or
+    cache in air-gapped environments)."""
+    if spec == "byte":
+        return tokenize_bytes
+    if spec.startswith("hf:"):
+        try:
+            from transformers import AutoTokenizer  # type: ignore
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise RuntimeError("transformers not available for hf: tokenizer") from e
+        tok = AutoTokenizer.from_pretrained(spec[3:])
+
+        def encode(text: str) -> np.ndarray:
+            return np.asarray(tok.encode(text), np.int32)
+
+        return encode
+    raise ValueError(f"unknown tokenizer spec: {spec}")
+
+
 def pack_token_stream(
     docs: Iterable[np.ndarray], seq_len: int, batch_size: int
 ) -> Iterator[np.ndarray]:
@@ -73,7 +94,8 @@ def synthetic_docs(seed: int = 0, doc_len: int = 2048) -> Iterator[np.ndarray]:
         yield doc.astype(np.int32)
 
 
-def local_docs(path: str, shard: Shard = Shard()) -> Iterator[np.ndarray]:
+def local_docs(path: str, shard: Shard = Shard(),
+               tokenize=tokenize_bytes) -> Iterator[np.ndarray]:
     """Local .jsonl ({'text': ...} per line) or plain .txt file."""
     idx = 0
     if path.endswith(".jsonl"):
@@ -88,19 +110,20 @@ def local_docs(path: str, shard: Shard = Shard()) -> Iterator[np.ndarray]:
                     except json.JSONDecodeError:
                         text = ""
                     if text:
-                        yield tokenize_bytes(text)
+                        yield tokenize(text)
                 idx += 1
     else:
         with open(path) as f:
             text = f.read()
         if shard.owns(0):
-            yield tokenize_bytes(text)
+            yield tokenize(text)
 
 
 def fineweb_docs(
     name: str = "HuggingFaceFW/fineweb-edu",
     split: str = "train",
     shard: Shard = Shard(),
+    tokenize=tokenize_bytes,
 ) -> Iterator[np.ndarray]:
     """FineWeb-Edu streaming via HF datasets (optional dep; raises a clear
     error when unavailable — callers fall back to synthetic)."""
@@ -115,7 +138,7 @@ def fineweb_docs(
         if shard.owns(idx):
             text = row.get("text", "")
             if text:
-                yield tokenize_bytes(text)
+                yield tokenize(text)
 
 
 def pack_token_stream_native(
@@ -145,19 +168,25 @@ def make_batches(
     shard: Shard = Shard(),
     seed: int = 0,
     native: Optional[bool] = None,
+    tokenizer: str = "byte",
 ) -> Iterator[np.ndarray]:
     """source: 'synthetic' | path to .jsonl/.txt | 'fineweb[:name]'.
     native: True = require the C++ packer, False = pure python,
-    None = auto (native when buildable)."""
+    None = auto (native when buildable; byte tokenizer only — the C++
+    ring buffer stores byte tokens)."""
+    tokenize = make_tokenizer(tokenizer)
     if source == "synthetic":
         docs: Iterator[np.ndarray] = synthetic_docs(seed + shard.rem)
     elif source.startswith("fineweb"):
         parts = source.split(":", 1)
-        docs = fineweb_docs(parts[1] if len(parts) > 1 else "HuggingFaceFW/fineweb-edu", shard=shard)
+        docs = fineweb_docs(parts[1] if len(parts) > 1 else "HuggingFaceFW/fineweb-edu",
+                            shard=shard, tokenize=tokenize)
     elif os.path.exists(source):
-        docs = local_docs(source, shard)
+        docs = local_docs(source, shard, tokenize=tokenize)
     else:
         raise ValueError(f"unknown data source: {source}")
+    if tokenizer != "byte":
+        native = False
     if native is None:
         from nsa_vibe_tpu.native import native_available
 

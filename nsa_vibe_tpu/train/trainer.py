@@ -81,7 +81,7 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
 
 def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
           resume: bool = False, watchdog_in_process: bool = False,
-          profile_steps: int = 0) -> dict:
+          profile_steps: int = 0, tokenizer: str = "byte") -> dict:
     """Run training; returns summary dict (final loss, toks/s, steps done)."""
     run_dir = tcfg.out_dir
     os.makedirs(run_dir, exist_ok=True)
@@ -119,7 +119,7 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
 
     batches = make_batches(
         data_source, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
-        shard=Shard(n_proc, rank), seed=tcfg.seed,
+        shard=Shard(n_proc, rank), seed=tcfg.seed, tokenizer=tokenizer,
     )
 
     hb = Heartbeat(os.path.join(run_dir, "heartbeat.jsonl"), rank)
@@ -281,6 +281,8 @@ def main() -> None:
     ap.add_argument("--watchdog", action="store_true", help="in-process watchdog thread")
     ap.add_argument("--profile", type=int, default=0, metavar="N",
                     help="trace N steps with jax.profiler into out_dir/profile")
+    ap.add_argument("--tokenizer", default="byte",
+                    help='"byte" or "hf:<name_or_path>"')
     args = ap.parse_args()
 
     mcfg, tcfg, data = load_config(args.config)
@@ -289,7 +291,7 @@ def main() -> None:
         data = args.data
     summary = train(mcfg, tcfg, data, resume=args.resume,
                     watchdog_in_process=args.watchdog,
-                    profile_steps=args.profile)
+                    profile_steps=args.profile, tokenizer=args.tokenizer)
     print(json.dumps({"summary": summary}), flush=True)
 
 

@@ -126,3 +126,13 @@ def test_debug_log_gating(capsys, monkeypatch):
     debug.log("x", a=1)
     debug.log("x", a=2)
     assert capsys.readouterr().err.count("NSA-LOG x") == 1
+
+
+def test_make_tokenizer_specs():
+    from nsa_vibe_tpu.train.data import make_tokenizer, tokenize_bytes
+
+    assert make_tokenizer("byte") is tokenize_bytes
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_tokenizer("bogus")
