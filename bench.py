@@ -51,10 +51,13 @@ def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
     return dt / iters * 1e3  # ms/step
 
 
-def bench_decode_chained(S: int = 1024, iters: int = 64) -> float:
-    """True device latency: `iters` decode steps inside ONE jitted lax.scan
-    (the per-dispatch tunnel overhead dominates the loop-of-dispatches
-    timing above; the cache carry makes each step data-dependent)."""
+def bench_decode_chained(S: int = 1024, n_short: int = 64, n_long: int = 320) -> float:
+    """True device latency per decode step: run two jitted lax.scan decode
+    loops of different lengths and take the slope — fixed per-dispatch
+    costs (the axon tunnel adds O(10 ms) per call) cancel out. The cache
+    carry makes every step data-dependent."""
+    import functools
+
     import jax.lax as lax
 
     from nsa_vibe_tpu.core.cache import cache_from_prefill
@@ -67,23 +70,28 @@ def bench_decode_chained(S: int = 1024, iters: int = 64) -> float:
     params = init_nsa_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     x_ctx = jax.random.normal(jax.random.PRNGKey(1), (1, S, cfg.dim), jnp.bfloat16)
     _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x_ctx)
-    cache = cache_from_prefill(cfg, aux, capacity=S + 2 * iters + 8)
+    cache0 = cache_from_prefill(cfg, aux, capacity=S + 2 * n_long + 8)
     x_tok = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.dim), jnp.bfloat16)
 
-    @jax.jit
-    def run(cache):
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(cache, n):
         def step(c, _):
             out, c, _ = nsa_decode_step(params, x_tok, c, cfg)
             return c, out[0, 0, 0]
-        c, outs = lax.scan(step, cache, None, length=iters)
+        c, outs = lax.scan(step, cache, None, length=n)
         return c, outs
 
-    cache, outs = run(cache)          # compile + warm
-    _ = float(outs[-1])
-    t0 = time.perf_counter()
-    cache, outs = run(cache)
-    _ = float(outs[-1])
-    return (time.perf_counter() - t0) / iters * 1e3
+    def timed(n, reps=4):
+        _, outs = run(cache0, n)       # compile + warm
+        _ = float(outs[-1])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            _, outs = run(cache0, n)
+        _ = float(outs[-1])
+        return (time.perf_counter() - t0) / reps
+
+    t_short, t_long = timed(n_short), timed(n_long)
+    return (t_long - t_short) / (n_long - n_short) * 1e3
 
 
 def main() -> None:
