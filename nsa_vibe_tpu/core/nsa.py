@@ -150,17 +150,17 @@ def nsa_prefill(
     impl, interpret = _resolve_kernel(cfg.kernel)
     from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
 
+    use_fused = impl == "pallas" and scorer_fits_vmem(h, meta.S_sel)
+    O_cmp = None
     with jax.named_scope("nsa.score_select"):
-        if impl == "pallas" and scorer_fits_vmem(h, meta.S_sel):
-            from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
-
-            # selection is gradient-free (top-k kills grads); stop_gradient on
-            # the *inputs* keeps the kernel off every JVP trace path
-            sel_idx = nsa_select_pallas(
-                jax.lax.stop_gradient(Q), jax.lax.stop_gradient(K_cmp), M,
+        if use_fused:
+            # one fused pass: selection scores AND the cmp branch output
+            # share softmax(Q K_cmp^T) under the same prefix visibility
+            sel_idx, O_cmp = attn_ops.fused_select_cmp(
+                Q, K_cmp, V_cmp, M,
                 scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
                 n_top=cfg.n_sel, force_init=cfg.force_init,
-                force_local=cfg.force_local, pos_offset=pos_offset,
+                force_local=cfg.force_local, t_start=pos_offset,
                 interpret=interpret,
             )
         else:
@@ -182,12 +182,14 @@ def nsa_prefill(
                 sel_idx = score_and_select(Q, t_pos, num_cmp_t)        # [B,S,G,n]
     sel_idx = jax.lax.stop_gradient(sel_idx)
 
-    # three branches (Pallas on TPU, jnp reference oracle per cfg.kernel)
-    with jax.named_scope("nsa.branch_cmp"):
-        O_cmp = attn_ops.compressed_attention(
-            Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
-            t_start=pos_offset,
-        )
+    # three branches (Pallas on TPU, jnp reference oracle per cfg.kernel);
+    # the cmp branch was already produced by the fused pass above
+    if O_cmp is None:
+        with jax.named_scope("nsa.branch_cmp"):
+            O_cmp = attn_ops.compressed_attention(
+                Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
+                t_start=pos_offset,
+            )
     with jax.named_scope("nsa.branch_sel"):
         O_sel = attn_ops.selection_attention(
             Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,

@@ -39,6 +39,43 @@ from nsa_vibe_tpu.ops.pallas.selection import selection_attention_pallas
 from nsa_vibe_tpu.ops.tuning import tuned
 
 
+def fused_select_cmp(
+    Q, K_cmp, V_cmp, M, *, scale: float, l: int, d: int, l_sel: int,
+    n_top: int, force_init: bool, force_local: int, t_start=None,
+    interpret: bool = False,
+):
+    """Fused Eq. 8-12 selection + compressed-branch attention
+    (ops.pallas.scorer.nsa_select_and_cmp_pallas) with the analytical
+    cmp flash backward. Returns (sel_idx [stop-grad by dtype], O_cmp)."""
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+    from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_and_cmp_pallas
+
+    kwf = dict(scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
+               force_init=force_init, force_local=force_local,
+               interpret=interpret)
+    kwb = dict(mode="cmp", l=l, d=d, scale=scale, interpret=interpret,
+               block_k=tuned("cmp.block_k"), block_q=tuned("cmp.block_q"))
+
+    @jax.custom_vjp
+    def f(t0, Q, K, V, M):
+        sel, O, _ = nsa_select_and_cmp_pallas(Q, K, V, M, pos_offset=t0, **kwf)
+        return sel, O
+
+    def fwd(t0, Q, K, V, M):
+        sel, O, lse = nsa_select_and_cmp_pallas(Q, K, V, M, pos_offset=t0, **kwf)
+        return (sel, O), (t0, Q, K, V, O, lse)
+
+    def bwd(res, g):
+        t0, Q, K, V, O, lse = res
+        _, gO = g                      # selection output is int (float0 grad)
+        dq, dk, dv = flash_banded_bwd(Q, K, V, gO, lse, _delta(gO, O),
+                                      t_start=t0, **kwb)
+        return (_int_cotangent(t0), dq, dk, dv, jnp.zeros_like(M))
+
+    f.defvjp(fwd, bwd)
+    return f(_as_t0(t_start), Q, K_cmp, V_cmp, M)
+
+
 def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
     """rowsum(dO * O) in the row-flat [B, G, S*h, 1] stats layout."""
     d = jnp.sum(dO.astype(jnp.float32) * O.astype(jnp.float32), axis=-1)  # [B,S,G,h]

@@ -215,6 +215,173 @@ def nsa_select_pallas(
     return out.transpose(0, 2, 1, 3)
 
 
+def _select_cmp_kernel(
+    t0_ref, q_ref, kc_ref, vc_ref, m_ref, o_sel_ref, o_cmp_ref, lse_ref,
+    m_scr, l_scr, acc_slc, acc_o,
+    *, scale: float, l: int, d: int, l_sel: int,
+    n_top: int, n_forced: int, force_init: bool, force_local: int,
+    block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
+):
+    """Fused Eq. 8-12 selection AND compressed-branch attention: both
+    consume softmax(Q K_cmp^T) under the same prefix visibility, so one
+    online-softmax pass feeds two accumulators — p @ M (-> top-n block
+    ids) and p @ V_cmp (-> O_cmp + lse for the analytical backward).
+    Halves the Q·K_cmp matmul/exp/mask work and drops one kernel launch
+    per layer vs running scorer + cmp flash separately."""
+    qt = pl.program_id(2)
+    c = pl.program_id(3)
+    q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
+    Dk = q.shape[2]
+    qf = q.reshape(block_q * h, Dk)
+    rows = block_q * h
+
+    tpos = (t0_ref[0] + qt * block_q
+            + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))  # [Tq,1]
+    s_raw = tpos + 1
+    num_cmp = jnp.where(s_raw >= l, (s_raw - l) // d + 1, 0)          # [Tq,1]
+    num_cmp_r = jnp.broadcast_to(num_cmp[:, None, :], (block_q, h, 1)).reshape(rows, 1)
+
+    @pl.when(c == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_slc[:] = jnp.zeros_like(acc_slc)
+        acc_o[:] = jnp.zeros_like(acc_o)
+
+    k = kc_ref[0, 0]                                                  # [C, Dk]
+    logits = jax.lax.dot_general(
+        qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                                         # [rows, C]
+    cidx = (c * cmp_chunk
+            + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
+    visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]
+    logits = jnp.where(visible, logits, NEG)
+    m_run = m_scr[:]
+    m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
+    p = jnp.where(visible, jnp.exp(logits - m_new), 0.0)
+    alpha = jnp.exp(m_run - m_new)
+    l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+    mc = m_ref[:]                                                     # [C, S_sel]
+    acc_slc[:] = acc_slc[:] * alpha + jax.lax.dot_general(
+        p, mc, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    v = vc_ref[0, 0]                                                  # [C, Dv]
+    acc_o[:] = acc_o[:] * alpha + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        denom = l_scr[:]
+        out = acc_o[:] / jnp.where(denom > 0, denom, 1.0)
+        out = jnp.where(denom > 0, out, 0.0)
+        Dv = o_cmp_ref.shape[4]
+        o_cmp_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_cmp_ref.dtype)
+        lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
+                        1e30)
+        lse_ref[0, 0] = lse                                           # [Tq*h, 1]
+        _scorer_topn(
+            acc_slc[:], denom, tpos, o_sel_ref,
+            l_sel=l_sel, n_top=n_top, n_forced=n_forced,
+            force_init=force_init, force_local=force_local,
+            block_q=block_q, h=h, s_sel=s_sel,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "l", "d", "l_sel", "n_top", "force_init",
+                     "force_local", "block_q", "cmp_chunk", "interpret"),
+)
+def nsa_select_and_cmp_pallas(
+    Q: jnp.ndarray,        # [B, S, G, h, Dk]  (RoPE'd)
+    K_cmp: jnp.ndarray,    # [B, G, S_cmp, Dk]
+    V_cmp: jnp.ndarray,    # [B, G, S_cmp, Dv]
+    M_csl: jnp.ndarray,    # [S_cmp, S_sel] float32
+    *,
+    scale: float,
+    l: int, d: int, l_sel: int, n_top: int,
+    force_init: bool = True, force_local: int = 2,
+    pos_offset=0,
+    block_q: int = 128,
+    cmp_chunk: int = 512,
+    interpret: bool = False,
+):
+    """Fused selection + compressed attention. Returns
+    (sel_idx [B,S,G,n_top] i32, O_cmp [B,S,G,h,Dv], lse [B,G,S*h,1] f32)."""
+    B, S, G, h, Dk = Q.shape
+    Dv = V_cmp.shape[3]
+    S_cmp, S_sel = M_csl.shape
+    block_q = min(block_q, max(S, 8))
+    cmp_chunk = min(cmp_chunk, max(S_cmp, 8))
+    nq = pl.cdiv(S, block_q)
+    n_chunks = pl.cdiv(S_cmp, cmp_chunk)
+    n_forced = (1 if force_init else 0) + force_local
+    rows = block_q * h
+
+    pad = n_chunks * cmp_chunk - S_cmp
+    M_f = M_csl.astype(jnp.float32)
+    if pad:
+        K_cmp = jnp.pad(K_cmp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        V_cmp = jnp.pad(V_cmp, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        M_f = jnp.pad(M_f, ((0, pad), (0, 0)))
+
+    kernel = functools.partial(
+        _select_cmp_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
+        n_forced=n_forced, force_init=force_init, force_local=force_local,
+        block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
+        s_cmp=S_cmp, s_sel=S_sel,
+    )
+    t0 = _as_t0(pos_offset)
+    sel, O, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G, nq, n_chunks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 1, h, Dk),
+                             lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cmp_chunk, Dk),
+                             lambda b, g, qt, c, *_: (b, g, c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, cmp_chunk, Dv),
+                             lambda b, g, qt, c, *_: (b, g, c, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cmp_chunk, S_sel), lambda b, g, qt, c, *_: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, n_top),
+                             lambda b, g, qt, c, *_: (b, g, qt, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1, h, Dv),
+                             lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q * h, 1),
+                             lambda b, g, qt, c, *_: (b, g, qt, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((rows, 1), jnp.float32),
+                pltpu.VMEM((rows, 1), jnp.float32),
+                pltpu.VMEM((rows, S_sel), jnp.float32),
+                pltpu.VMEM((rows, Dv), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, S, n_top), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype),
+            jax.ShapeDtypeStruct((B, G, S * h, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(t0, Q, K_cmp, V_cmp, M_f)
+    return sel.transpose(0, 2, 1, 3), O, lse
+
+
+
 def scorer_fits_vmem(h: int, S_sel: int, block_q: int = 128,
                      cmp_chunk: int = 512, budget: int = 12 * 2**20) -> bool:
     """Whether the streamed scorer's VMEM working set (f32 p_slc

@@ -70,3 +70,60 @@ def test_prefill_with_scorer_kernel_matches_reference():
     # aux sel_idx (set representation) selects the same blocks
     p = np.asarray(aux["sel_idx"])
     assert p.shape == (1, 64, 2, 3)
+
+
+def test_fused_select_cmp_matches_separate():
+    """Fused pass == separate scorer + cmp attention, fwd and grads."""
+    import numpy as np
+
+    from nsa_vibe_tpu.ops import reference as ref
+    from nsa_vibe_tpu.ops.attention import fused_select_cmp
+    from nsa_vibe_tpu.ops.block_index import build_block_meta, num_cmp_blocks
+    from nsa_vibe_tpu.ops.selection import select_topn_blocks, selection_scores
+
+    B, S, G, h, Dk = 2, 64, 2, 2, 32
+    l, d, l_sel, n_top = 8, 4, 16, 4
+    S_cmp = int(num_cmp_blocks(S, l, d))
+    meta = build_block_meta(S, l, d, l_sel, n_top, 16)
+    M = jnp.asarray(meta.M_csl[:S_cmp])
+    key = jax.random.PRNGKey(0)
+    Q = jax.random.normal(key, (B, S, G, h, Dk))
+    Kc = jax.random.normal(jax.random.PRNGKey(1), (B, G, S_cmp, Dk))
+    Vc = jax.random.normal(jax.random.PRNGKey(2), (B, G, S_cmp, Dk))
+    t_pos = jnp.arange(S, dtype=jnp.int32)
+    num_cmp_t = jnp.minimum(
+        jnp.where(t_pos + 1 >= l, (t_pos + 1 - l) // d + 1, 0), S_cmp
+    ).astype(jnp.int32)
+
+    sel_f, O_f = fused_select_cmp(
+        Q, Kc, Vc, M, scale=0.2, l=l, d=d, l_sel=l_sel, n_top=n_top,
+        force_init=True, force_local=2, interpret=True)
+
+    p_grp = selection_scores(Q, Kc, M, 0.2, num_cmp_t)
+    sel_want = select_topn_blocks(p_grp, n_top, t_pos, l_sel)
+    O_want = ref.compressed_attention(Q, Kc, Vc, num_cmp_t, 0.2)
+
+    # set equality of selected blocks per row (the kernel's output is a
+    # set representation: forced slots may duplicate, order unspecified)
+    a = np.asarray(sel_f)
+    b = np.asarray(sel_want)
+    for idx in np.ndindex(B, S, G):
+        sa = {int(v) for v in a[idx] if v >= 0}
+        sb = {int(v) for v in b[idx] if v >= 0}
+        assert sa == sb, (idx, sorted(sa), sorted(sb))
+    assert float(jnp.abs(O_f - O_want).max()) < 1e-5
+
+    # gradients flow through O only, matching the reference cmp vjp
+    def loss_fused(q, k, v):
+        _, O = fused_select_cmp(q, k, v, M, scale=0.2, l=l, d=d, l_sel=l_sel,
+                                n_top=n_top, force_init=True, force_local=2,
+                                interpret=True)
+        return jnp.sum(O.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(ref.compressed_attention(q, k, v, num_cmp_t, 0.2) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(Q, Kc, Vc)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(Q, Kc, Vc)
+    for a, b in zip(g_f, g_r):
+        assert float(jnp.abs(a - b).max()) < 1e-4
