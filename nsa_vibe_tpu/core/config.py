@@ -106,6 +106,7 @@ class TrainConfig:
     # parallelism
     dp: int = 1                # data-parallel axis size
     tp: int = 1                # tensor-parallel (head/group) axis size
+    sp: int = 1                # sequence-parallel axis size (context-parallel attention)
     fsdp: bool = False         # fully shard params/optimizer over dp (ZeRO-3)
     fsdp_min_size: int = 512   # axes shorter than this stay replicated
 

@@ -91,69 +91,9 @@ def context_parallel_prefill(
     impl, interpret = resolve_kernel(cfg.kernel)
 
     def shard_fn(params, x_local):
-        t0 = jax.lax.axis_index(axis).astype(jnp.int32) * S_local
-        t_pos = t0 + jnp.arange(S_local, dtype=jnp.int32)
-
-        Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(
-            params, x_local, cfg
+        return nsa_attention_cp_local(
+            params, x_local, cfg, axis, S, S_cmp, meta.S_sel, M, impl, interpret
         )
-        Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
-        Q = Q.reshape(x_local.shape[0], S_local, G, h, cfg.d_k)
-        K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
-        K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
-
-        # K/V all-gather over ICI (bwd: reduce_scatter)
-        def gather(a):
-            return jax.lax.all_gather(a, axis, axis=2, tiled=True)
-
-        K_sel_f, V_sel_f = gather(K_sel), gather(V_sel)
-        K_win_f, V_win_f = gather(K_win), gather(V_win)
-        K_raw_f, V_raw_f = gather(K_cmp_raw), gather(V_cmp_raw)
-
-        # ϕ-compression over the full gathered raw stream (the ϕ windows
-        # straddle shard boundaries; recomputing the pooled stream per
-        # shard is O(S·D) — negligible next to attention)
-        K_cmp, V_cmp = pool_phi_rope_kv(
-            K_raw_f, V_raw_f, cfg.l, cfg.d,
-            pos=jnp.arange(S, dtype=jnp.int32),
-            k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
-            rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
-        )
-        num_cmp_t = jnp.minimum(num_cmp_traced(t_pos + 1, cfg.l, cfg.d), S_cmp)
-
-        from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
-
-        if impl == "pallas" and scorer_fits_vmem(h, meta.S_sel):
-            from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_pallas
-
-            sel_idx = nsa_select_pallas(
-                jax.lax.stop_gradient(Q), jax.lax.stop_gradient(K_cmp), M,
-                scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
-                n_top=cfg.n_sel, force_init=cfg.force_init,
-                force_local=cfg.force_local, pos_offset=t0,
-                interpret=interpret,
-            )
-        else:
-            p_grp = selection_scores(Q, K_cmp, M, scale, num_cmp_t)
-            sel_idx = select_topn_blocks(
-                p_grp, cfg.n_sel, t_pos, cfg.l_sel, cfg.force_init, cfg.force_local
-            )
-        sel_idx = jax.lax.stop_gradient(sel_idx)
-
-        O_cmp = attn_ops.compressed_attention(
-            Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
-            t_start=t0,
-        )
-        O_sel = attn_ops.selection_attention(
-            Q, K_sel_f, V_sel_f, sel_idx, t_pos, cfg.l_sel, scale,
-            kernel=cfg.kernel, pos_offset=t0,
-        )
-        O_win = attn_ops.sliding_window_attention(
-            Q, K_win_f, V_win_f, t_pos, cfg.w, scale, kernel=cfg.kernel,
-            t_start=t0,
-        )
-        out, _ = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
-        return out
 
     b_ax = batch_axis
     x_spec = P(b_ax, axis, None)
@@ -163,3 +103,137 @@ def context_parallel_prefill(
         out_specs=x_spec,
         check_rep=False,
     )(params, x)
+
+
+def nsa_attention_cp_local(
+    params: dict, x_local: jnp.ndarray, cfg: NSAConfig, axis: str,
+    S: int, S_cmp: int, S_sel: int, M: jnp.ndarray,
+    impl: str, interpret: bool,
+) -> jnp.ndarray:
+    """Sequence-sharded NSA attention body — runs INSIDE shard_map.
+    x_local: this shard's [B, S/sp, dim] slice; returns the local output
+    slice. Composable into larger shard_map programs (model_forward_cp)."""
+    G, h = cfg.n_kv_groups, cfg.h_per_group
+    scale = 1.0 / float(np.sqrt(cfg.d_k))
+    S_local = x_local.shape[1]
+    t0 = jax.lax.axis_index(axis).astype(jnp.int32) * S_local
+    t_pos = t0 + jnp.arange(S_local, dtype=jnp.int32)
+
+    Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(
+        params, x_local, cfg
+    )
+    Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
+    Q = Q.reshape(x_local.shape[0], S_local, G, h, cfg.d_k)
+    K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
+    K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
+
+    # K/V all-gather over ICI (bwd: reduce_scatter)
+    def gather(a):
+        return jax.lax.all_gather(a, axis, axis=2, tiled=True)
+
+    K_sel_f, V_sel_f = gather(K_sel), gather(V_sel)
+    K_win_f, V_win_f = gather(K_win), gather(V_win)
+    K_raw_f, V_raw_f = gather(K_cmp_raw), gather(V_cmp_raw)
+
+    # ϕ-compression over the full gathered raw stream (the ϕ windows
+    # straddle shard boundaries; recomputing the pooled stream per
+    # shard is O(S·D) — negligible next to attention)
+    K_cmp, V_cmp = pool_phi_rope_kv(
+        K_raw_f, V_raw_f, cfg.l, cfg.d,
+        pos=jnp.arange(S, dtype=jnp.int32),
+        k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
+        rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
+    )
+    num_cmp_t = jnp.minimum(num_cmp_traced(t_pos + 1, cfg.l, cfg.d), S_cmp)
+
+    from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
+
+    O_cmp = None
+    if impl == "pallas" and scorer_fits_vmem(h, S_sel):
+        # fused pass: selection block ids + the cmp branch output
+        sel_idx, O_cmp = attn_ops.fused_select_cmp(
+            Q, K_cmp, V_cmp, M, scale=scale, l=cfg.l, d=cfg.d,
+            l_sel=cfg.l_sel, n_top=cfg.n_sel, force_init=cfg.force_init,
+            force_local=cfg.force_local, t_start=t0, interpret=interpret,
+        )
+    else:
+        p_grp = selection_scores(Q, K_cmp, M, scale, num_cmp_t)
+        sel_idx = select_topn_blocks(
+            p_grp, cfg.n_sel, t_pos, cfg.l_sel, cfg.force_init, cfg.force_local
+        )
+    sel_idx = jax.lax.stop_gradient(sel_idx)
+
+    if O_cmp is None:
+        O_cmp = attn_ops.compressed_attention(
+            Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
+            t_start=t0,
+        )
+    O_sel = attn_ops.selection_attention(
+        Q, K_sel_f, V_sel_f, sel_idx, t_pos, cfg.l_sel, scale,
+        kernel=cfg.kernel, pos_offset=t0,
+    )
+    O_win = attn_ops.sliding_window_attention(
+        Q, K_win_f, V_win_f, t_pos, cfg.w, scale, kernel=cfg.kernel,
+        t_start=t0,
+    )
+    out, _ = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
+    return out
+
+
+# --------------------- context-parallel model training ---------------------
+
+
+def context_parallel_model_forward(
+    params: dict,
+    tokens: jnp.ndarray,
+    mcfg,
+    mesh: Mesh,
+    axis: str = "sp",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """TinyLM forward with every layer's attention sequence-sharded over
+    `axis`. tokens: [B, S] int32 -> logits [B, S, vocab] (sharded over
+    axis on S). Embedding / norms / MLP / LM head are per-token and run
+    on local shards; only the attention gathers K/V over ICI.
+
+    The reference has no model-level sequence parallelism at all — this
+    is the pod-scale long-context training path the north star requires.
+    """
+    from nsa_vibe_tpu.models.llama_block import mlp, rmsnorm
+
+    cfg = mcfg.nsa
+    B, S = tokens.shape
+    sp = mesh.shape[axis]
+    if S % sp != 0 or (S // sp) % cfg.l_sel != 0:
+        raise ValueError(f"S={S} must split into sp={sp} l_sel-aligned shards")
+    meta = build_block_meta(S, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
+    S_cmp = int(num_cmp_blocks(S, cfg.l, cfg.d))
+    M = jnp.asarray(meta.M_csl[:S_cmp])
+    impl, interpret = resolve_kernel(cfg.kernel)
+    dtype = jnp.dtype(mcfg.dtype)
+
+    def local_fn(params, tok_local):
+        x = params["embed"][tok_local].astype(dtype)
+
+        def run_block(bp, x):
+            h = rmsnorm(x, bp["attn_norm"], mcfg.rmsnorm_eps)
+            x = x + nsa_attention_cp_local(
+                bp["attn"], h, cfg, axis, S, S_cmp, meta.S_sel, M, impl, interpret
+            )
+            x = x + mlp(bp["mlp"], rmsnorm(x, bp["mlp_norm"], mcfg.rmsnorm_eps))
+            return x
+
+        if mcfg.remat:
+            run_block = jax.checkpoint(run_block)
+        for bp in params["blocks"]:
+            x = run_block(bp, x)
+        x = rmsnorm(x, params["final_norm"], mcfg.rmsnorm_eps)
+        return x @ params["lm_head"]
+
+    spec = P(batch_axis, axis)
+    return shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=P(batch_axis, axis, None),
+        check_rep=False,
+    )(params, tokens)

@@ -49,14 +49,26 @@ def init_train_state(params, tcfg: TrainConfig) -> TrainState:
     return TrainState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     """Returns train_step(state, tokens) -> (state', metrics).
 
     tokens: [accum, B, S+1] int32 (accum axis present even when 1).
+    With tcfg.sp > 1 (and a mesh), every layer's attention runs
+    sequence-sharded over the sp axis (context-parallel long-context
+    training); gate/selection stats are not collected on that path.
     """
     optimizer = make_optimizer(tcfg)
+    use_cp = mesh is not None and tcfg.sp > 1
 
     def loss_fn(params, tok_row):
+        if use_cp:
+            from nsa_vibe_tpu.parallel.context import context_parallel_model_forward
+
+            logits = context_parallel_model_forward(
+                params, tok_row[:, :-1], mcfg, mesh,
+                batch_axis="dp" if mesh.shape["dp"] > 1 else None,
+            )
+            return cross_entropy_loss(logits, tok_row[:, 1:]), None
         logits, auxes = model_forward(params, tok_row[:, :-1], mcfg, collect_aux=True)
         loss = cross_entropy_loss(logits, tok_row[:, 1:])
         gates = jnp.stack([a["gates"] for a in auxes]).astype(jnp.float32)  # [L,B,S,G,3]
@@ -65,22 +77,26 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig):
 
     def micro(carry, tok_row):
         params, grad_acc, loss_acc, gate_acc = carry
-        (loss, (gates, sel)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, tok_row
         )
         grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
-        g = gates.reshape(-1, 3)
-        entropy = -jnp.sum(g * jnp.log(g + 1e-8), axis=-1)
-        max_gate = jnp.max(g, axis=-1)
-        # selection k-stats (reference k_stats.csv, nsa_attention.py:455-507):
-        # mean/max distinct selected blocks per (t, g) row
-        k_per_row = (sel >= 0).sum(axis=-1).astype(jnp.float32)
-        stats = jnp.array([
-            entropy.mean(), max_gate.mean(),
-            ((entropy < 0.1) & (max_gate > 0.95)).astype(jnp.float32).mean(),
-            *g.mean(axis=0),
-            k_per_row.mean(), k_per_row.max(),
-        ])
+        if aux is None:
+            stats = jnp.zeros((8,), jnp.float32)
+        else:
+            gates, sel = aux
+            g = gates.reshape(-1, 3)
+            entropy = -jnp.sum(g * jnp.log(g + 1e-8), axis=-1)
+            max_gate = jnp.max(g, axis=-1)
+            # selection k-stats (reference k_stats.csv,
+            # nsa_attention.py:455-507): distinct selected blocks per row
+            k_per_row = (sel >= 0).sum(axis=-1).astype(jnp.float32)
+            stats = jnp.array([
+                entropy.mean(), max_gate.mean(),
+                ((entropy < 0.1) & (max_gate > 0.95)).astype(jnp.float32).mean(),
+                *g.mean(axis=0),
+                k_per_row.mean(), k_per_row.max(),
+            ])
         return (params, grad_acc, loss_acc + loss, gate_acc + stats), None
 
     def train_step(state: TrainState, tokens: jnp.ndarray):
@@ -152,5 +168,5 @@ def build_state_and_step(params, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None
         )
         batch_shard = NamedSharding(mesh, P(None, "dp", None))  # [accum, B, S+1]
     state = init_train_state(params, tcfg)
-    step_fn = jax.jit(make_train_step(mcfg, tcfg), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(mcfg, tcfg, mesh), donate_argnums=(0,))
     return step_fn, state, batch_shard

@@ -62,7 +62,7 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
         k: getattr(args, k)
         for k in ("steps", "batch_size", "seq_len", "accum_steps", "lr", "seed",
                   "save_every", "eval_every", "log_every", "out_dir", "dp", "tp",
-                  "fsdp")
+                  "sp", "fsdp")
         if getattr(args, k, None) is not None
     }
     if t_over:
@@ -101,8 +101,7 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
             }, f, indent=2, default=str)
 
     n_dev = len(jax.devices())
-    tp = tcfg.tp
-    mesh = make_mesh(tp=tp) if n_dev > 1 else None
+    mesh = make_mesh(tp=tcfg.tp, sp=tcfg.sp) if n_dev > 1 else None
 
     key = jax.random.PRNGKey(tcfg.seed)
     dtype = jnp.dtype(mcfg.dtype)
@@ -275,6 +274,8 @@ def main() -> None:
     ap.add_argument("--out-dir", dest="out_dir", default=None)
     ap.add_argument("--dp", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None)
+    ap.add_argument("--sp", type=int, default=None,
+                    help="sequence-parallel axis (context-parallel attention)")
     ap.add_argument("--fsdp", action="store_true", default=None,
                     help="fully shard params/optimizer over dp (ZeRO-3)")
     ap.add_argument("--resume", action="store_true")

@@ -180,3 +180,43 @@ def test_fsdp_matches_replicated_step():
         state, m2 = step_fn(state, tok)
         losses.append((float(m1["loss"]), float(m2["loss"])))
     assert np.allclose(losses[0], losses[1], rtol=1e-5), losses
+
+
+def test_cp_model_forward_matches_single_device():
+    from nsa_vibe_tpu.core.config import ModelConfig
+    from nsa_vibe_tpu.models.tinylm import init_model_params, model_forward
+    from nsa_vibe_tpu.parallel.context import context_parallel_model_forward
+
+    mcfg = ModelConfig(vocab_size=256, n_layers=2, nsa=CFG, dtype="float32")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, 64)), jnp.int32)
+    mesh = make_mesh(sp=4, devices=jax.devices()[:4])
+    want, _ = jax.jit(lambda p, t: model_forward(p, t, mcfg))(params, tokens)
+    got = jax.jit(
+        lambda p, t: context_parallel_model_forward(p, t, mcfg, mesh)
+    )(params, tokens)
+    mae = float(jnp.abs(got - want).mean())
+    assert mae < 2e-5, f"cp model fwd MAE {mae}"
+
+
+def test_cp_train_step_loss_matches():
+    """A dp-only step and a dp x sp step compute the same loss/update."""
+    from nsa_vibe_tpu.core.config import ModelConfig, TrainConfig
+    from nsa_vibe_tpu.models.tinylm import init_model_params
+    from nsa_vibe_tpu.parallel.train_step import build_state_and_step
+
+    mcfg = ModelConfig(vocab_size=256, n_layers=1, nsa=CFG, dtype="float32")
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (1, 2, 65)), jnp.int32)
+    losses = []
+    for sp in (1, 4):
+        params = init_model_params(jax.random.PRNGKey(0), mcfg)
+        tcfg = TrainConfig(steps=2, batch_size=2, seq_len=64, sp=sp)
+        mesh = make_mesh(dp=2, sp=sp, devices=jax.devices()[:2 * sp])
+        step_fn, state, batch_shard = build_state_and_step(params, mcfg, tcfg, mesh)
+        tok = jax.device_put(tokens, batch_shard)
+        state, m1 = step_fn(state, tok)
+        state, m2 = step_fn(state, tok)
+        losses.append((float(m1["loss"]), float(m2["loss"])))
+    assert np.allclose(losses[0], losses[1], rtol=2e-5), losses
