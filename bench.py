@@ -43,15 +43,17 @@ def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
     for _ in range(warmup):
         out, cache, _ = step(params, x_tok, cache)
     _ = float(out[0, 0, 0])
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out, cache, _ = step(params, x_tok, cache)
-    _ = float(out[0, 0, 0])  # depends on the full cache chain
-    dt = time.perf_counter() - t0
-    return dt / iters * 1e3  # ms/step
+    best = float("inf")
+    for _trial in range(3):      # min over trials: tunnel latency is noisy
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out, cache, _ = step(params, x_tok, cache)
+        _ = float(out[0, 0, 0])  # depends on the full cache chain
+        best = min(best, time.perf_counter() - t0)
+    return best / iters * 1e3  # ms/step
 
 
-def bench_decode_chained(S: int = 1024, n_short: int = 64, n_long: int = 320) -> float:
+def bench_decode_chained(S: int = 1024, n_short: int = 64, n_long: int = 1024) -> float:
     """True device latency per decode step: run two jitted lax.scan decode
     loops of different lengths and take the slope — fixed per-dispatch
     costs (the axon tunnel adds O(10 ms) per call) cancel out. The cache
@@ -84,14 +86,17 @@ def bench_decode_chained(S: int = 1024, n_short: int = 64, n_long: int = 320) ->
     def timed(n, reps=4):
         _, outs = run(cache0, n)       # compile + warm
         _ = float(outs[-1])
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            _, outs = run(cache0, n)
-        _ = float(outs[-1])
-        return (time.perf_counter() - t0) / reps
+        best = float("inf")
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                _, outs = run(cache0, n)
+            _ = float(outs[-1])
+            best = min(best, time.perf_counter() - t0)
+        return best / reps
 
     t_short, t_long = timed(n_short), timed(n_long)
-    return (t_long - t_short) / (n_long - n_short) * 1e3
+    return max((t_long - t_short) / (n_long - n_short) * 1e3, 0.0)
 
 
 def main() -> None:
