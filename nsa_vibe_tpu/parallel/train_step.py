@@ -168,5 +168,17 @@ def build_state_and_step(params, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None
         )
         batch_shard = NamedSharding(mesh, P(None, "dp", None))  # [accum, B, S+1]
     state = init_train_state(params, tcfg)
+    if mesh is not None:
+        # canonicalize placement: optimizer scalars (adam count, step) are
+        # created uncommitted by optax — pin them replicated on the mesh so
+        # checkpoint restore (which commits placements) round-trips cleanly
+        rep = NamedSharding(mesh, P())
+
+        def place(x):
+            if hasattr(x, "devices") and len(x.devices()) == mesh.size:
+                return x
+            return jax.device_put(x, rep)
+
+        state = jax.tree_util.tree_map(place, state)
     step_fn = jax.jit(make_train_step(mcfg, tcfg, mesh), donate_argnums=(0,))
     return step_fn, state, batch_shard

@@ -44,12 +44,20 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
 
 
 def restore_checkpoint(ckpt_dir: str, state_like: Any, step: Optional[int] = None) -> Any:
-    """Restore into the structure/shardings of `state_like` (a concrete or
-    abstract TrainState with the desired shapes/shardings)."""
+    """Restore into the structure AND shardings of `state_like` (a concrete
+    or abstract TrainState): restored arrays land on the same mesh
+    placement as the live state — required for sharded (dp/tp/fsdp)
+    resume, where a default-device restore would mix placements."""
     if step is None:
         step = latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_like)
-    return _ckptr().restore(path, abstract)
+
+    def abstract(x):
+        sharding = getattr(x, "sharding", None)
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    return _ckptr().restore(
+        path, jax.tree_util.tree_map(abstract, state_like)
+    )
