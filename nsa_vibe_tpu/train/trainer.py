@@ -41,6 +41,39 @@ from nsa_vibe_tpu.utils.checkpoint import latest_step, restore_checkpoint, save_
 from nsa_vibe_tpu.utils.heartbeat import Heartbeat
 
 
+class _Prefetcher:
+    """Background data-prefetch thread + bounded queue (reference
+    pinned-memory prefetch, train_showcase.py:951-1041): batch generation
+    overlaps device compute; the first get() applies a timeout so a stuck
+    streaming source fails fast (first-batch smoke, :914-950)."""
+
+    def __init__(self, batches, depth: int = 4):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+
+        def worker():
+            try:
+                for b in batches:
+                    self._q.put(b)
+            except Exception as e:  # surface the loader error on get()
+                self._err = e
+            self._q.put(None)
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def get(self, timeout: Optional[float] = None):
+        item = self._q.get(timeout=timeout)
+        if item is None:
+            if self._err is not None:
+                raise RuntimeError(f"data loader failed: {self._err}") from self._err
+            raise StopIteration("data source exhausted")
+        return item
+
+
 def load_config(path: Optional[str]) -> tuple[ModelConfig, TrainConfig, str]:
     """YAML with optional model/nsa/train groups; returns (mcfg, tcfg, data)."""
     raw: dict = {}
@@ -81,7 +114,9 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
 
 def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
           resume: bool = False, watchdog_in_process: bool = False,
-          profile_steps: int = 0, tokenizer: str = "byte") -> dict:
+          profile_steps: int = 0, tokenizer: str = "byte",
+          synthetic_on_fail: bool = False,
+          first_batch_timeout_s: float = 120.0) -> dict:
     """Run training; returns summary dict (final loss, toks/s, steps done)."""
     run_dir = tcfg.out_dir
     os.makedirs(run_dir, exist_ok=True)
@@ -116,10 +151,24 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
         start_step = int(state.step)
         print(f"[trainer] resumed from step {start_step}", flush=True)
 
-    batches = make_batches(
-        data_source, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
-        shard=Shard(n_proc, rank), seed=tcfg.seed, tokenizer=tokenizer,
-    )
+    def _make(src):
+        return make_batches(
+            src, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
+            shard=Shard(n_proc, rank), seed=tcfg.seed, tokenizer=tokenizer,
+        )
+
+    batches = _Prefetcher(_make(data_source))
+    # first-batch smoke with timeout; optional synthetic fallback
+    # (reference --synthetic-on-fail, train_showcase.py:914-940)
+    try:
+        first_batch = batches.get(timeout=first_batch_timeout_s)
+    except Exception as e:
+        if not synthetic_on_fail or data_source == "synthetic":
+            raise
+        print(f"[trainer] data source {data_source!r} failed ({e}); "
+              "falling back to synthetic", flush=True)
+        batches = _Prefetcher(_make("synthetic"))
+        first_batch = batches.get(timeout=60.0)
 
     hb = Heartbeat(os.path.join(run_dir, "heartbeat.jsonl"), rank)
     # optional TensorBoard scalars (reference train_showcase.py TB output);
@@ -174,7 +223,11 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
         if os.path.exists(halt_path):
             print(f"[trainer] .HALT detected at step {step}; exiting gracefully", flush=True)
             break
-        batch_np = next(batches).reshape(tcfg.accum_steps, tcfg.batch_size, tcfg.seq_len + 1)
+        if first_batch is not None:
+            batch_np, first_batch = first_batch, None
+        else:
+            batch_np = batches.get(timeout=300.0)
+        batch_np = batch_np.reshape(tcfg.accum_steps, tcfg.batch_size, tcfg.seq_len + 1)
         batch = jnp.asarray(batch_np)
         if batch_shard is not None:
             batch = jax.device_put(batch, batch_shard)
@@ -230,7 +283,7 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
                   flush=True)
 
         if tcfg.eval_every and (step + 1) % tcfg.eval_every == 0:
-            vb = next(batches)[: tcfg.batch_size]
+            vb = batches.get(timeout=300.0)[: tcfg.batch_size]
             vl = float(eval_fn(state.params, jnp.asarray(vb)))
             with open(val_path, "a", newline="") as vf:
                 csv.writer(vf).writerow([step + 1, f"{vl:.6f}", f"{np.exp(vl):.4f}"])
@@ -284,6 +337,9 @@ def main() -> None:
                     help="trace N steps with jax.profiler into out_dir/profile")
     ap.add_argument("--tokenizer", default="byte",
                     help='"byte" or "hf:<name_or_path>"')
+    ap.add_argument("--synthetic-on-fail", dest="synthetic_on_fail",
+                    action="store_true",
+                    help="fall back to synthetic data if the source fails")
     args = ap.parse_args()
 
     mcfg, tcfg, data = load_config(args.config)
@@ -292,7 +348,8 @@ def main() -> None:
         data = args.data
     summary = train(mcfg, tcfg, data, resume=args.resume,
                     watchdog_in_process=args.watchdog,
-                    profile_steps=args.profile, tokenizer=args.tokenizer)
+                    profile_steps=args.profile, tokenizer=args.tokenizer,
+                    synthetic_on_fail=args.synthetic_on_fail)
     print(json.dumps({"summary": summary}), flush=True)
 
 

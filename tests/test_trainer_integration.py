@@ -57,3 +57,22 @@ def test_env_snapshot_contents(tmp_path):
     assert env["model"]["n_layers"] == 1
     assert "jax" in env and "devices" in env
     assert os.path.exists(os.path.join(str(out), "ckpt"))
+
+
+def test_synthetic_fallback_on_bad_source(tmp_path):
+    """--synthetic-on-fail: a broken data source falls back to synthetic
+    (reference train_showcase.py:914-940)."""
+    out = tmp_path / "run"
+    mcfg, tcfg = _cfgs(out, steps=2)
+    s = train(mcfg, tcfg, "fineweb:no/such-dataset", synthetic_on_fail=True,
+              first_batch_timeout_s=30.0)
+    assert s["steps"] == 2 and np.isfinite(s["final_loss"])
+
+
+def test_bad_source_raises_without_fallback(tmp_path):
+    import pytest
+
+    out = tmp_path / "run"
+    mcfg, tcfg = _cfgs(out, steps=2)
+    with pytest.raises(Exception):
+        train(mcfg, tcfg, "/no/such/file.jsonl", first_batch_timeout_s=10.0)
