@@ -23,7 +23,10 @@ import jax
 import jax.numpy as jnp
 
 
-def chain_bench(fn, q0, iters=8):
+_PEDESTAL: dict = {}
+
+
+def _chain_raw(fn, q0, iters, trials=3):
     @jax.jit
     def run(q):
         def body(q, _):
@@ -33,10 +36,23 @@ def chain_bench(fn, q0, iters=8):
 
     r = run(q0)
     _ = float(r.reshape(-1)[0].astype(jnp.float32))
-    t0 = time.perf_counter()
-    r = run(q0)
-    _ = float(r.reshape(-1)[0].astype(jnp.float32))
-    return (time.perf_counter() - t0) / iters * 1e3
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        r = run(q0)
+        _ = float(r.reshape(-1)[0].astype(jnp.float32))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def chain_bench(fn, q0, iters=64):
+    """ms/iter, pedestal-corrected: the forcing scalar fetch costs a fixed
+    ~25-30 ms through the axon tunnel regardless of iters — subtract an
+    identity-chain measurement so kernel deltas aren't drowned."""
+    key = (q0.shape, q0.dtype.name, iters)
+    if key not in _PEDESTAL:
+        _PEDESTAL[key] = _chain_raw(lambda q: q, q0, iters)
+    return max(_chain_raw(fn, q0, iters) - _PEDESTAL[key], 0.0) / iters * 1e3
 
 
 def main() -> None:
@@ -80,21 +96,21 @@ def main() -> None:
                 best = (cfgv, ms)
         return best
 
-    print("win.block_k:")
-    b = sweep("win", [128, 256, 512, 1024],
-              lambda bk: lambda q: flash_banded(q, K, V, mode="win", w=w,
-                                                scale=0.125, block_k=bk))
-    winners["win.block_k"] = b[0]
-    print("cmp.block_k:")
-    b = sweep("cmp", [128, 256, 512],
-              lambda bk: lambda q: flash_banded(q, Kc, Vc, mode="cmp", l=l, d=d,
-                                                scale=0.125, block_k=bk))
-    winners["cmp.block_k"] = b[0]
-    print("sel.kv_batch:")
-    b = sweep("sel", [2, 4, 8, 16],
-              lambda kb: lambda q: selection_flash_pallas(
-                  q, K, V, sel, l_sel=l_sel, scale=0.125, kv_batch=kb))
-    winners["sel.kv_batch"] = b[0]
+    print("win (block_q, block_k):")
+    b = sweep("win", [(bq, bk) for bq in (128, 256, 512) for bk in (256, 512, 1024)],
+              lambda c: lambda q: flash_banded(q, K, V, mode="win", w=w,
+                                               scale=0.125, block_q=c[0], block_k=c[1]))
+    winners["win.block_q"], winners["win.block_k"] = b[0]
+    print("cmp (block_q, block_k):")
+    b = sweep("cmp", [(bq, bk) for bq in (128, 256, 512) for bk in (128, 256, 512)],
+              lambda c: lambda q: flash_banded(q, Kc, Vc, mode="cmp", l=l, d=d,
+                                               scale=0.125, block_q=c[0], block_k=c[1]))
+    winners["cmp.block_q"], winners["cmp.block_k"] = b[0]
+    print("sel (block_q, kv_batch):")
+    b = sweep("sel", [(bq, kb) for bq in (128, 256) for kb in (4, 8, 16)],
+              lambda c: lambda q: selection_flash_pallas(
+                  q, K, V, sel, l_sel=l_sel, scale=0.125, block_q=c[0], kv_batch=c[1]))
+    winners["sel.block_q"], winners["sel.kv_batch"] = b[0]
 
     print(json.dumps(winners, indent=2))
     if args.write:

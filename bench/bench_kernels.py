@@ -33,9 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def chain_bench(fn, q0, iters: int, trials: int = 3) -> float:
-    """ms per iteration: min over trials of a scan-chained jit."""
+_PEDESTAL: dict = {}
 
+
+def _chain_raw(fn, q0, iters: int, trials: int) -> float:
     @jax.jit
     def run(q):
         def body(q, _):
@@ -52,18 +53,35 @@ def chain_bench(fn, q0, iters: int, trials: int = 3) -> float:
         r = run(q0)
         _ = float(r.reshape(-1)[0].astype(jnp.float32))
         best = min(best, time.perf_counter() - t0)
-    return best / iters * 1e3
+    return best
+
+
+def chain_bench(fn, q0, iters: int, trials: int = 3) -> float:
+    """ms per iteration, pedestal-corrected.
+
+    The scalar host fetch that forces completion costs a fixed ~25-30 ms
+    through the axon tunnel regardless of iters; without subtracting it,
+    every measurement carries a +pedestal/iters bias (~3.5 ms at iters=8)
+    that drowns real kernel deltas. We measure an identity-body chain at
+    the same iters once and subtract."""
+    key = (q0.shape, q0.dtype.name, iters)
+    if key not in _PEDESTAL:
+        _PEDESTAL[key] = _chain_raw(lambda q: q, q0, iters, trials)
+    raw = _chain_raw(fn, q0, iters, trials)
+    return max(raw - _PEDESTAL[key], 0.0) / iters * 1e3
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--B", type=int, default=16)
     ap.add_argument("--S", type=int, default=2048)
-    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kernel", default="auto", help="auto|pallas|reference")
     ap.add_argument("--compare-reference", action="store_true",
                     help="also time the jnp reference path per branch")
+    ap.add_argument("--grad", action="store_true",
+                    help="also time fwd+bwd (value_and_grad) per branch")
     ap.add_argument("--csv", default=None)
     args = ap.parse_args()
 
@@ -150,6 +168,33 @@ def main() -> None:
         out = jnp.einsum("kbsghv,bsgk->bsghv", O3, g.astype(O3.dtype))
         return out
     record("gate.mlp+combine", chain_bench(gate_combine, Q, args.iters))
+
+    if args.grad:
+        def g(fn):
+            def wrapped(q):
+                def loss(qq, kk, vv):
+                    return jnp.sum(fn(qq, kk, vv).astype(jnp.float32) ** 2)
+                dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, K, V)
+                return dq + (jnp.sum(dk.astype(jnp.float32)) + jnp.sum(dv.astype(jnp.float32))).astype(dq.dtype) * 1e-30
+            return wrapped
+
+        record("win.fwd+bwd", chain_bench(g(
+            lambda q, k, v: attn.sliding_window_attention(q, k, v, t_pos, cfg.w,
+                                                          scale, kernel=kern)),
+            Q, args.iters), 3 * win_flops)
+        record("sel.fwd+bwd", chain_bench(g(
+            lambda q, k, v: attn.selection_attention(q, k, v, sel_idx, t_pos,
+                                                     cfg.l_sel, scale, kernel=kern)),
+            Q, args.iters), 3 * sel_flops)
+
+        def gc(q):
+            def loss(qq, kk, vv):
+                return jnp.sum(attn.compressed_attention(
+                    qq, kk, vv, num_cmp_t, cfg.l, cfg.d, scale,
+                    kernel=kern).astype(jnp.float32) ** 2)
+            dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, Kc, Vc)
+            return dq + (jnp.sum(dk.astype(jnp.float32)) + jnp.sum(dv.astype(jnp.float32))).astype(dq.dtype) * 1e-30
+        record("cmp.fwd+bwd", chain_bench(gc, Q, args.iters), 3 * cmp_flops)
 
     if args.compare_reference and kern != "reference":
         record("win.attention(ref)", chain_bench(

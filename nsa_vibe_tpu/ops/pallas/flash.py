@@ -82,34 +82,36 @@ def _flash_kernel(
         q = q_ref[0, :, 0]                                # [Tq, h, Dk]
         Tq, Dk = q.shape[0], q.shape[2]
         qf = q.reshape(Tq * h, Dk)                        # rows t-major, head-minor
-        k = k_ref[0, 0]                                   # [Tk, Dk]
+        kt = kt_lo + ki
+        # zero OOB-padded K rows BEFORE the matmul: padding memory can be
+        # NaN/garbage, and additive masking cannot remove a NaN logit
+        krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)        # [Tk, Dk]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale                                         # [Tq*h, Tk]
 
-        kt = kt_lo + ki
+        # additive masking on the compact [Tq, Tk] tile (heads share the
+        # row mask), broadcast into the row-flat logits with ONE add —
+        # instead of materializing a [Tq*h, Tk] bool mask + two wheres
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         tpos = t_first + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         lo_r, hi_r = bounds(tpos)                         # [Tq,1]
-        mask = (kpos >= lo_r) & (kpos < hi_r)             # [Tq, Tk]
-        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, block_k)).reshape(
-            block_q * h, block_k
-        )
-        logits = jnp.where(mask, logits, NEG_INF)
+        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
+        bias = (maskf - 1.0) * 1e30                       # 0 in-band, -1e30 out
+        logits = (logits.reshape(block_q, h, block_k) + bias[:, None, :]
+                  ).reshape(block_q * h, block_k)
 
         m_prev = m_scr[:]                                 # [h*Tq, 1]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)                       # masked rows -> exp(NEG_INF)≈0
-        p = jnp.where(mask, p, 0.0)
+        # floor the running max so fully-masked rows give
+        # exp(-1e30 - (-1e20)) == 0 exactly (not exp(0) == 1)
+        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e20)
+        p = jnp.exp(logits - m_new)                       # masked -> exactly 0
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
-        v = v_ref[0, 0]                                   # [Tk, Dv]
-        # zero OOB-padded rows: padding memory can be NaN/garbage and
-        # 0 * NaN = NaN would poison the P·V matmul
-        krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        v = jnp.where(krow < s_kv, v, 0)
+        v = jnp.where(krow < s_kv, v_ref[0, 0], 0)        # [Tk, Dv]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

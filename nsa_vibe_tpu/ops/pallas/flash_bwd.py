@@ -66,35 +66,41 @@ def _dq_kernel(
         q = q_ref[0, :, 0]                                # [Tq, h, Dk]
         Dk = q.shape[2]
         qf = q.reshape(block_q * h, Dk)
-        k = k_ref[0, 0]                                   # [Tk, Dk]
         kt = kt_lo + ki
+        # zero OOB K rows BEFORE the matmul (additive masking cannot
+        # remove a NaN logit from garbage padding memory)
+        krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)        # [Tk, Dk]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        # compact [Tq, Tk] additive bias broadcast over heads (one add)
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         tpos = t_first + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         lo_r, hi_r = bounds(tpos)
-        mask = (kpos >= lo_r) & (kpos < hi_r)
-        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, block_k)).reshape(
-            block_q * h, block_k
-        )
+        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
+        logits = (logits.reshape(block_q, h, block_k)
+                  + ((maskf - 1.0) * 1e30)[:, None, :]
+                  ).reshape(block_q * h, block_k)
         lse = lse_ref[0, 0]                               # [rows,1]
-        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)   # [rows, Tk]
+        p = jnp.exp(logits - lse)                         # masked -> exactly 0
+                                                          # (empty rows: lse=+1e30)
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
-        dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
-        v = v_ref[0, 0]
-        krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        v = jnp.where(krow < s_kv, v, 0).astype(jnp.float32)
+        # matmul operands stay in the input dtype (bf16 in training) so the
+        # MXU runs at native rate; accumulation is f32 via
+        # preferred_element_type (fp32 operands cost several MXU passes)
+        dof = do.reshape(block_q * h, Dv)
+        v = jnp.where(krow < s_kv, v_ref[0, 0], 0)
         dpv = jax.lax.dot_general(
             dof, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                  # [rows, Tk]
         delta = delta_ref[0, 0]
         ds = p * (dpv - delta)
-        kf = jnp.where(krow < s_kv, k, 0).astype(jnp.float32)
         acc_scr[:] += scale * jax.lax.dot_general(
-            ds, kf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
     @pl.when(ki == nk_grid - 1)
@@ -144,38 +150,47 @@ def _dkv_kernel(
         qt = qt_lo + qi_rel
         q = q_ref[0, :, 0]                                # [Tq, h, Dk]
         Dk = q.shape[2]
+        srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        rowv = srow < s                                   # [Tq,1] valid q rows
+        # zero OOB q/dO rows and sanitize their lse/delta: a garbage row
+        # would contaminate entire dK/dV *columns* through the matmuls
+        q = jnp.where(rowv[:, :, None], q, 0)
         qf = q.reshape(block_q * h, Dk)
         k = k_ref[0, 0]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         tpos = t0 + srow
         lo_r, hi_r = bounds(tpos)
-        mask = (kpos >= lo_r) & (kpos < hi_r) & (srow < s)
-        mask = jnp.broadcast_to(mask[:, None, :], (block_q, h, block_k)).reshape(
-            block_q * h, block_k
-        )
-        lse = lse_ref[0, 0]
-        p = jnp.where(mask, jnp.exp(logits - lse), 0.0)   # [rows, Tk]
+        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
+        logits = (logits.reshape(block_q, h, block_k)
+                  + ((maskf - 1.0) * 1e30)[:, None, :]
+                  ).reshape(block_q * h, block_k)
+        # flat-row validity via iota (Mosaic cannot reshape i1 vectors)
+        flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+        rowvf = (qt * block_q + flat // h) < s            # [rows,1] bool
+        lse = jnp.where(rowvf, lse_ref[0, 0], EMPTY_LSE)
+        p = jnp.exp(logits - lse)                         # [rows, Tk]
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
-        dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
+        # bf16 matmul operands, f32 accumulate (see _dq_kernel note)
+        dof = jnp.where(rowv[:, :, None], do, 0).reshape(block_q * h, Dv)
         dv_scr[:] += jax.lax.dot_general(
-            p, dof, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )                                                  # [Tk, Dv]
         v = v_ref[0, 0]
         krow = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        vf = jnp.where(krow < s_kv, v, 0).astype(jnp.float32)
+        vf = jnp.where(krow < s_kv, v, 0)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        delta = delta_ref[0, 0]
+        delta = jnp.where(rowvf, delta_ref[0, 0], jnp.float32(0.0))
         ds = p * (dpv - delta)
         dk_scr[:] += scale * jax.lax.dot_general(
-            ds, qf.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), qf, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # [Tk, Dk]
 

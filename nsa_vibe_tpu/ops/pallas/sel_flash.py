@@ -322,14 +322,16 @@ def _sel_dq_kernel(
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
-        dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
+        # matmul operands in the input dtype (bf16 in training) so the MXU
+        # runs at native rate; f32 accumulate via preferred_element_type
+        dof = do.reshape(block_q * h, Dv)
         dpv = jax.lax.dot_general(
-            dof, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            dof, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         delta = delta_ref[0, 0]
         ds = p * (dpv - delta)
         acc_scr[:] += scale * jax.lax.dot_general(
-            ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(j == Jg - 1)
@@ -387,18 +389,20 @@ def _sel_dkv_kernel(
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
-        dof = do.reshape(block_q * h, Dv).astype(jnp.float32)
+        # bf16 matmul operands, f32 accumulate (see _sel_dq note)
+        dof = do.reshape(block_q * h, Dv)
         dv_scr[:] += jax.lax.dot_general(
-            p, dof, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         krow = (jg * KB * l_sel
                 + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
-        vf = jnp.where(krow < s_kv, v_ref[0, 0], 0).astype(jnp.float32)
+        vf = jnp.where(krow < s_kv, v_ref[0, 0], 0)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
         delta = delta_ref[0, 0]
         ds = p * (dpv - delta)
         dk_scr[:] += scale * jax.lax.dot_general(
-            ds, qf.astype(jnp.float32), (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), qf, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(qi == NQ - 1)
