@@ -103,6 +103,11 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool)
     kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret)
     kw["block_k"] = tuned(f"{mode}.block_k")
     kw["block_q"] = tuned(f"{mode}.block_q")
+    # the backward keeps extra live tiles (dO + lse/delta + two scratch
+    # accumulators), so its VMEM budget needs its own (smaller) tiles;
+    # lse/delta are plain [B,G,S*h,1] arrays — tiling can differ from fwd
+    kwb = dict(kw, block_k=tuned(f"{mode}.bwd_block_k", kw["block_k"]),
+               block_q=tuned(f"{mode}.bwd_block_q", 128))
 
     @jax.custom_vjp
     def f(t0, Q, K, V):
@@ -115,7 +120,7 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool)
     def bwd(res, g):
         t0, Q, K, V, O, lse = res
         dq, dk, dv = flash_banded_bwd(Q, K, V, g, lse, _delta(g, O),
-                                      t_start=t0, **kw)
+                                      t_start=t0, **kwb)
         return (_int_cotangent(t0), dq, dk, dv)
 
     f.defvjp(fwd, bwd)
@@ -125,6 +130,8 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool)
 def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
     kw = dict(l_sel=l_sel, scale=scale, interpret=interpret,
               kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
+    kwb = dict(kw, block_q=tuned("sel.bwd_block_q", 128),
+               kv_batch=tuned("sel.bwd_kv_batch", kw["kv_batch"]))
 
     @jax.custom_vjp
     def f(sel_idx, t0, Q, K, V):
@@ -138,7 +145,7 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
     def bwd(res, g):
         sel_idx, t0, Q, K, V, O, lse = res
         dq, dk, dv = selection_flash_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O),
-                                         pos_offset=t0, **kw)
+                                         pos_offset=t0, **kwb)
         return (_int_cotangent(sel_idx), _int_cotangent(t0), dq, dk, dv)
 
     f.defvjp(fwd, bwd)

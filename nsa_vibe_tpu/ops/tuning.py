@@ -23,6 +23,14 @@ DEFAULTS = {
     "sel.block_q": 128,
     "scorer.cmp_chunk": 512,
     "scorer.block_q": 128,
+    # backward kernels keep more live tiles (dO, lse/delta, two scratch
+    # accumulators) so they get their own, smaller tile budget
+    "win.bwd_block_q": 128,
+    "win.bwd_block_k": 512,
+    "cmp.bwd_block_q": 128,
+    "cmp.bwd_block_k": 512,
+    "sel.bwd_block_q": 128,
+    "sel.bwd_kv_batch": 8,
 }
 
 _TUNING_PATH = os.environ.get(
