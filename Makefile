@@ -3,7 +3,8 @@ PY ?= python
 CPU_ENV = JAX_PLATFORMS=cpu PYTHONPATH=.
 
 .PHONY: test test-fast lint bench bench-decode bench-prefill bench-train \
-        smoke readiness demo-64k dryrun
+        bench-kernels bench-all smoke readiness demo-64k demo-decode \
+        train-toy sanity check-configs dryrun
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -25,7 +26,25 @@ bench-prefill:
 	$(PY) bench/bench_prefill.py
 
 bench-train:
-	$(PY) bench/bench_train.py --batch 8 --seq 2048
+	$(PY) bench/bench_train.py --batch 16 --seq 2048
+
+bench-kernels:    # per-kernel micro-benches, pedestal-corrected timing
+	$(PY) bench/bench_kernels.py --grad --csv artifacts/kernels.csv
+
+bench-all:        # orchestrated suite -> artifacts/bench/<ts>/summary.json
+	$(PY) bench/run_automated_bench.py
+
+demo-decode:
+	$(CPU_ENV) $(PY) scripts/demo_decode.py
+
+train-toy:
+	$(CPU_ENV) $(PY) scripts/train_toy.py
+
+sanity:           # 10-second chip sanity (devices, MXU, pallas)
+	$(PY) scripts/tpu_sanity.py
+
+check-configs:
+	$(CPU_ENV) $(PY) scripts/check_config.py configs/*.yaml
 
 smoke:
 	$(CPU_ENV) $(PY) -m nsa_vibe_tpu.train.trainer --steps 20 --data synthetic \

@@ -150,7 +150,10 @@ def nsa_prefill(
     impl, interpret = _resolve_kernel(cfg.kernel)
     from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
 
-    use_fused = impl == "pallas" and scorer_fits_vmem(h, meta.S_sel)
+    # S_cmp == 0 (S < l): no compressed tokens — the fused kernel has no
+    # K tiles to stream; fall through to the jnp path (whose scorer and
+    # cmp branch both short-circuit to forced-blocks / zeros)
+    use_fused = impl == "pallas" and S_cmp > 0 and scorer_fits_vmem(h, meta.S_sel)
     O_cmp = None
     with jax.named_scope("nsa.score_select"):
         if use_fused:

@@ -209,6 +209,10 @@ def compressed_attention(
     t_start=None,
 ) -> jnp.ndarray:
     impl, interpret = resolve_kernel(kernel)
+    if K_cmp.shape[2] == 0:
+        # no compressed tokens yet (S < l): the branch contributes zeros
+        B, S, G, h, _ = Q.shape
+        return jnp.zeros((B, S, G, h, V_cmp.shape[3]), Q.dtype)
     if impl == "reference":
         return ref.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0

@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--kernel", default="reference")
     ap.add_argument("--positions", default=None,
                     help="comma-separated query positions (default: spread)")
+    ap.add_argument("--compare", action="store_true",
+                    help="print per-branch pallas-vs-reference MAEs "
+                         "(reference NSA_DEBUG_COMPARE)")
     args = ap.parse_args()
 
     from nsa_vibe_tpu.core.config import NSAConfig
@@ -75,6 +78,12 @@ def main() -> None:
         print(f"t={t:6d} blocks={blocks} ranges={rr}")
         assert all(b * cfg.l_sel <= t for b in blocks), "causality violated"
     print("ok: all selected blocks causal")
+
+    if args.compare:
+        from nsa_vibe_tpu.utils.compare import debug_compare_prefill
+
+        print("== branch MAEs (pallas vs reference) ==")
+        print(json.dumps(debug_compare_prefill(params, x, cfg)))
 
 
 if __name__ == "__main__":
