@@ -114,6 +114,8 @@ def _sel_flash_kernel(
         ).reshape(block_q * h, KB * l_sel)
         # additive masking: one FMA per element (vs compare+select chains);
         # exp(-1e30) underflows to exactly 0 so no post-zeroing needed
+        # (reshaping the big f32 logits instead measures slower — the
+        # broadcast of the compact f32 mask is the cheap direction here)
         logits = logits + (maskf - 1.0) * 1e30
 
         m_prev = m_scr[:]
@@ -317,8 +319,12 @@ def _sel_dq_kernel(
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        # lse is finite for live rows (every row selects block 0) and
+        # +1e30 for empty rows, so masked entries underflow to exactly 0
+        # without a post-multiply
+        logits = logits + (maskf - 1.0) * 1e30
         lse = lse_ref[0, 0]
-        p = jnp.exp(logits + (maskf - 1.0) * 1e30 - lse) * maskf
+        p = jnp.exp(logits - lse)
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
@@ -343,7 +349,7 @@ def _sel_dq_kernel(
 def _sel_dkv_kernel(
     orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref, lse_ref,
     delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-    *, l_sel, scale, block_q, h, NQ, KB, s_kv,
+    *, l_sel, scale, block_q, h, NQ, KB, s_kv, s,
 ):
     """kv-major pass over KB-wide contiguous kv tiles ([KB*l_sel, D] — kv
     blocks are visited in order here, so no gather is needed): per tile,
@@ -365,14 +371,22 @@ def _sel_dkv_kernel(
         qt = orderq_ref[b, g, jg, jnp.minimum(qi, jnp.maximum(cnt - 1, 0))]
         q = q_ref[0, :, 0]
         Dk = q.shape[2]
+        srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        rowv = srow < s                                    # valid q rows
+        # zero OOB q/dO rows and sanitize their lse/delta: a garbage row
+        # contaminates whole dK/dV *columns* through the matmuls
+        q = jnp.where(rowv[:, :, None], q, 0)
         qf = q.reshape(block_q * h, Dk)
-        k = k_ref[0, 0]                                    # [KB*l_sel, Dk]
+        krow = (jg * KB * l_sel
+                + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
+        # zero OOB K rows BEFORE the matmul (additive masking cannot
+        # remove a NaN logit)
+        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)         # [KB*l_sel, Dk]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         sel_q = sel_ref[0, 0]
-        tpos = (t0_ref[0] + qt * block_q
-                + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+        tpos = t0_ref[0] + srow
         kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
         subs = []
         for i in range(KB):
@@ -384,22 +398,23 @@ def _sel_dkv_kernel(
         maskf = jnp.broadcast_to(
             maskf[:, None, :], (block_q, h, KB * l_sel)
         ).reshape(block_q * h, KB * l_sel)
-        lse = lse_ref[0, 0]
-        p = jnp.exp(logits + (maskf - 1.0) * 1e30 - lse) * maskf
+        logits = logits + (maskf - 1.0) * 1e30
+        flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+        rowvf = (qt * block_q + flat // h) < s
+        lse = jnp.where(rowvf, lse_ref[0, 0], 1e30)
+        p = jnp.exp(logits - lse)
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
         # bf16 matmul operands, f32 accumulate (see _sel_dq note)
-        dof = do.reshape(block_q * h, Dv)
+        dof = jnp.where(rowv[:, :, None], do, 0).reshape(block_q * h, Dv)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        krow = (jg * KB * l_sel
-                + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
         vf = jnp.where(krow < s_kv, v_ref[0, 0], 0)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        delta = delta_ref[0, 0]
+        delta = jnp.where(rowvf, delta_ref[0, 0], jnp.float32(0.0))
         ds = p * (dpv - delta)
         dk_scr[:] += scale * jax.lax.dot_general(
             ds.astype(q.dtype), qf, (((0,), (0,)), ((), ())),
@@ -519,7 +534,7 @@ def selection_flash_bwd(
 
     dk, dv = pl.pallas_call(
         functools.partial(_sel_dkv_kernel, l_sel=l_sel, scale=scale,
-                          block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv),
+                          block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv, s=S),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, G, Jg, nq),
