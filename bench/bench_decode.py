@@ -66,6 +66,39 @@ def time_decode(params, cfg: NSAConfig, x_ctx, iters: int, warmup: int):
     return dt / iters * 1e3, info
 
 
+def serve_bench(args) -> None:
+    """Single-stream serving throughput: TinyLM prefill + lax.scan'd
+    decode in one jitted program (models/tinylm.py::generate_scan)."""
+    from nsa_vibe_tpu.core.config import ModelConfig
+    from nsa_vibe_tpu.models.tinylm import generate_scan, init_model_params
+    import numpy as np
+
+    S0, n_new = 1024, 128
+    cfg = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,
+                    d_k=64, d_v=64, l=32, d=16, l_sel=64, n_sel=16, w=512,
+                    kernel=args.kernel)
+    mcfg = ModelConfig(vocab_size=256, n_layers=4, nsa=cfg, dtype=args.dtype)
+    params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.dtype(args.dtype))
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (args.batch, S0)), jnp.int32)
+
+    out = generate_scan(params, prompt, n_new, mcfg)      # compile + warm
+    _ = int(out[0, -1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = generate_scan(params, prompt, n_new, mcfg)
+        _ = int(out[0, -1])                               # force completion
+        best = min(best, time.perf_counter() - t0)
+    per_tok_ms = best / n_new * 1e3 / 1
+    print(json.dumps({
+        "mode": "serve", "batch": args.batch, "prompt": S0, "new": n_new,
+        "layers": mcfg.n_layers, "s_total": round(best, 4),
+        "ms_per_token": round(per_tok_ms, 4),
+        "toks_per_s": round(args.batch * n_new / best, 1),
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--S", default="512,1024,2048,4096")
@@ -80,7 +113,15 @@ def main() -> None:
     ap.add_argument("--csv", default=None)
     ap.add_argument("--branches", action="store_true",
                     help="also time cmp/sel/win-forced variants")
+    ap.add_argument("--serve", action="store_true",
+                    help="model-level single-stream serving: prefill + "
+                         "generate_scan (whole generation in ONE program; "
+                         "amortizes per-token dispatch)")
     args = ap.parse_args()
+
+    if args.serve:
+        serve_bench(args)
+        return
 
     sweep = [int(s) for s in args.S.split(",")]
     cfg = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,

@@ -11,6 +11,7 @@ decodes at the NSAAttention level.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Tuple
 
 import jax
@@ -104,6 +105,62 @@ def model_decode_step(
         new_caches.append(cache)
     x = rmsnorm(x, params["final_norm"], mcfg.rmsnorm_eps)
     return x @ params["lm_head"], new_caches
+
+
+def generate_scan(
+    params: dict,
+    prompt: jnp.ndarray,
+    n_new: int,
+    mcfg: ModelConfig,
+    temperature: float = 0.0,
+    key: Optional[jax.Array] = None,
+    capacity: Optional[int] = None,
+) -> jnp.ndarray:
+    """Whole-generation-in-one-program decoding: prefill + a lax.scan of
+    n_new decode steps inside a single jit.
+
+    The per-token `generate` path pays one host->device dispatch per
+    token (~0.8 ms through a remote tunnel vs ~40 us of device compute
+    at S=1024); scanning the decode step amortizes dispatch to one
+    program, which is the TPU serving idiom. n_new is static (one
+    compile per length bucket — round capacity up in callers)."""
+    B, S0 = prompt.shape
+    capacity = capacity or S0 + n_new
+    if S0 + n_new > capacity:
+        raise ValueError(f"capacity {capacity} < prompt+new {S0 + n_new}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    # the compiled program must be cached across calls — a fresh jit
+    # wrapper per call re-traces the whole prefill + n_new-step scan
+    return _generate_scan_fn(mcfg, n_new, float(temperature), capacity)(
+        params, prompt, key)
+
+
+@functools.lru_cache(maxsize=32)
+def _generate_scan_fn(mcfg: ModelConfig, n_new: int, temperature: float,
+                      capacity: int):
+    @jax.jit
+    def run(params, prompt, key):
+        logits, caches = model_prefill_with_caches(params, prompt, mcfg, capacity)
+        tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+
+        def body(carry, k):
+            tok, caches = carry
+            logits, caches = model_decode_step(params, tok, caches, mcfg)
+            if temperature > 0:
+                nxt = jax.random.categorical(k, logits[:, -1] / temperature)[:, None]
+                nxt = nxt.astype(tok.dtype)
+            else:
+                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(tok.dtype)
+            return (nxt, caches), nxt
+
+        keys = jax.random.split(key, max(n_new - 1, 1))
+        (_, _), toks = jax.lax.scan(body, (tok0, caches), keys[: n_new - 1])
+        # toks: [n_new-1, B, 1] -> [B, n_new-1]
+        toks = jnp.swapaxes(toks[..., 0], 0, 1)
+        return jnp.concatenate([prompt, tok0, toks], axis=1)
+
+    return run
 
 
 def generate(

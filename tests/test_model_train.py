@@ -76,6 +76,20 @@ def test_model_decode_matches_prefill(model):
         )
 
 
+def test_generate_scan_matches_loop():
+    """generate_scan (one jitted program) == generate (per-token dispatch)
+    for greedy decoding."""
+    from nsa_vibe_tpu.models.tinylm import generate_scan
+
+    params = init_model_params(jax.random.PRNGKey(0), MCFG)
+    prompt = jnp.asarray(
+        np.random.default_rng(3).integers(0, MCFG.vocab_size, (2, 24)), jnp.int32)
+    a = generate(params, prompt, 10, MCFG)
+    b = generate_scan(params, prompt, 10, MCFG)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_generate_greedy_deterministic(model):
     params, tokens = model
     out1 = generate(params, tokens[:, :8], 6, MCFG)
