@@ -116,12 +116,29 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
           resume: bool = False, watchdog_in_process: bool = False,
           profile_steps: int = 0, tokenizer: str = "byte",
           synthetic_on_fail: bool = False,
-          first_batch_timeout_s: float = 120.0) -> dict:
+          first_batch_timeout_s: float = 120.0,
+          detect_anomaly: bool = False,
+          mem_dump_every: int = 0) -> dict:
     """Run training; returns summary dict (final loss, toks/s, steps done)."""
     run_dir = tcfg.out_dir
     os.makedirs(run_dir, exist_ok=True)
     rank = jax.process_index()
     n_proc = jax.process_count()
+
+    # SIGUSR1/SIGTERM all-thread stack dumps (reference signal handlers,
+    # train_showcase.py:208-226) — `kill -USR1 <pid>` on a stuck trainer
+    import faulthandler
+    import signal
+
+    try:
+        faulthandler.register(signal.SIGUSR1, all_threads=True, chain=True)
+    except (AttributeError, ValueError):  # non-main thread / platform
+        pass
+
+    if detect_anomaly:
+        # reference NSA_DETECT_ANOMALY -> torch.autograd.set_detect_anomaly;
+        # the XLA analog traps the first NaN-producing op
+        jax.config.update("jax_debug_nans", True)
 
     # environment snapshot (reference env.json, train_showcase.py:131-164)
     if rank == 0:
@@ -291,6 +308,13 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
         if tcfg.save_every and (step + 1) % tcfg.save_every == 0 and rank == 0:
             save_checkpoint(ckpt_dir, step + 1, state)
 
+        if mem_dump_every and (step + 1) % mem_dump_every == 0 and rank == 0:
+            # reference _dump_mem / NSA_MEM_DUMP_EVERY (train_showcase.py:245)
+            stats = getattr(jax.local_devices()[0], "memory_stats", lambda: None)()
+            if stats:
+                with open(os.path.join(run_dir, f"mem_step{step + 1}.json"), "w") as f:
+                    json.dump({k: int(v) for k, v in stats.items()}, f, indent=2)
+
     if prof_active:
         jax.profiler.stop_trace()
     if tb is not None:
@@ -340,6 +364,10 @@ def main() -> None:
     ap.add_argument("--synthetic-on-fail", dest="synthetic_on_fail",
                     action="store_true",
                     help="fall back to synthetic data if the source fails")
+    ap.add_argument("--detect-anomaly", dest="detect_anomaly", action="store_true",
+                    help="trap the first NaN-producing op (jax_debug_nans)")
+    ap.add_argument("--mem-dump-every", dest="mem_dump_every", type=int, default=0,
+                    help="write device memory_stats JSON every N steps")
     args = ap.parse_args()
 
     mcfg, tcfg, data = load_config(args.config)
@@ -349,7 +377,9 @@ def main() -> None:
     summary = train(mcfg, tcfg, data, resume=args.resume,
                     watchdog_in_process=args.watchdog,
                     profile_steps=args.profile, tokenizer=args.tokenizer,
-                    synthetic_on_fail=args.synthetic_on_fail)
+                    synthetic_on_fail=args.synthetic_on_fail,
+                    detect_anomaly=args.detect_anomaly,
+                    mem_dump_every=args.mem_dump_every)
     print(json.dumps({"summary": summary}), flush=True)
 
 
