@@ -77,6 +77,37 @@ def test_profiler_smoke_produces_trace(tmp_path):
     assert last_json(r.stdout)["ok"]
 
 
+def test_decode_guard_pass_and_fail(tmp_path):
+    """check_decode_guard: within-tolerance passes, regression fails,
+    --snapshot writes a new baseline (reference ci_decode_perf_guard.yml)."""
+    bench = tmp_path / "bench.json"
+    base = tmp_path / "base.json"
+    bench.write_text(json.dumps(
+        {"metric": "decode_ms_per_step_S1024", "value": 1.0, "unit": "ms"}) + "\n")
+    base.write_text(json.dumps({"decode_ms_per_step_S1024": 1.01}))
+    r = run_cli(["scripts/check_decode_guard.py", str(bench), str(base)])
+    assert r.returncode == 0, r.stdout + r.stderr
+    base.write_text(json.dumps({"decode_ms_per_step_S1024": 0.80}))
+    r = run_cli(["scripts/check_decode_guard.py", str(bench), str(base)])
+    assert r.returncode != 0
+    r = run_cli(["scripts/check_decode_guard.py", str(bench), str(base), "--snapshot"])
+    assert r.returncode == 0
+    assert json.loads(base.read_text())["decode_ms_per_step_S1024"] == 1.0
+
+
+def test_tpu_sanity_cpu():
+    r = run_cli(["scripts/tpu_sanity.py", "--allow-cpu"])
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert last_json(r.stdout)["ok"]
+
+
+def test_check_config_validates_ladder():
+    import glob
+
+    r = run_cli(["scripts/check_config.py", *sorted(glob.glob("configs/*.yaml"))])
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 @pytest.mark.slow
 def test_automated_bench_fast_mode(tmp_path):
     r = run_cli(["bench/run_automated_bench.py", "--fast", "--out", str(tmp_path)],
