@@ -30,7 +30,8 @@ def main() -> None:
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--layers", type=int, default=12)
-    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat", nargs="?", const=True, default=False,
+                help="full block remat; --remat mlp = MLP-only")
     ap.add_argument("--kernel", default="auto")
     args = ap.parse_args()
 

@@ -83,7 +83,11 @@ class ModelConfig:
     mlp_ratio: float = 4.0
     rmsnorm_eps: float = 1e-6
     dtype: str = "float32"     # activation/computation dtype ("bfloat16" on TPU)
-    remat: bool = False        # gradient checkpointing per block
+    # gradient checkpointing: False | True/"full" (remat whole blocks) |
+    # "mlp" (remat only the MLP — recomputing the 4x hidden is ~5% extra
+    # FLOPs but frees the largest activation buffer; attention residuals
+    # [Q,K,V,O,lse] stay saved so the Pallas backwards never re-run fwd)
+    remat: "bool | str" = False
 
 
 @dataclass(frozen=True)

@@ -59,7 +59,8 @@ def block_prefill(
     cfg: NSAConfig = mcfg.nsa
     attn_out, aux = nsa_prefill(params["attn"], rmsnorm(x, params["attn_norm"], mcfg.rmsnorm_eps), cfg)
     x = x + attn_out
-    x = x + mlp(params["mlp"], rmsnorm(x, params["mlp_norm"], mcfg.rmsnorm_eps))
+    mlp_fn = jax.checkpoint(mlp) if mcfg.remat == "mlp" else mlp
+    x = x + mlp_fn(params["mlp"], rmsnorm(x, params["mlp_norm"], mcfg.rmsnorm_eps))
     return x, aux
 
 

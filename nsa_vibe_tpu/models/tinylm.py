@@ -53,7 +53,7 @@ def model_forward(
     def run_block(bp, x):
         return block_prefill(bp, x, mcfg)
 
-    if mcfg.remat:
+    if mcfg.remat in (True, "full"):        # "mlp" remats inside the block
         run_block = jax.checkpoint(run_block)
     for bp in params["blocks"]:
         x, aux = run_block(bp, x)

@@ -77,10 +77,16 @@ def fused_select_cmp(
 
 
 def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
-    """rowsum(dO * O) in the row-flat [B, G, S*h, 1] stats layout."""
+    """rowsum(dO * O) in the flat [B, G, stats_rows(S, h)] stats layout
+    (see ops.pallas.flash.stats_rows — the [.., S*h, 1] form is 128x
+    tile-padded on TPU)."""
+    from nsa_vibe_tpu.ops.pallas.flash import stats_rows
+
     d = jnp.sum(dO.astype(jnp.float32) * O.astype(jnp.float32), axis=-1)  # [B,S,G,h]
     B, S, G, h = d.shape
-    return d.transpose(0, 2, 1, 3).reshape(B, G, S * h, 1)
+    flat = d.transpose(0, 2, 1, 3).reshape(B, G, S * h)
+    pad = stats_rows(S, h) - S * h
+    return jnp.pad(flat, ((0, 0), (0, 0), (0, pad))) if pad else flat
 
 
 def _int_cotangent(x):

@@ -31,6 +31,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(np.finfo(np.float32).min)
 
+# Row stats (lse/delta) are stored FLAT as [B, G, stats_rows(S, h)] f32.
+# A [B, G, S*h, 1] layout tiles the trailing 1 up to 128 lanes — a 128x
+# padded HBM buffer (288 MB for 2.25 MB of data at B=24, m7c shapes) per
+# saved residual. Rows are padded to a block_q-independent bound so
+# forward and backward kernels with different tile sizes index the same
+# array in-bounds; rows beyond S*h are garbage and consumers mask them.
+STATS_ALIGN = 512  # >= the largest supported block_q
+
+
+def stats_rows(S: int, h: int) -> int:
+    return -(-S // STATS_ALIGN) * STATS_ALIGN * h
+
 
 def _bounds_fn(mode: str, w: int, l: int, d: int):
     """Returns row_bounds(t) -> (lo, hi) as traced int32 arithmetic."""
@@ -57,6 +69,7 @@ def _flash_kernel(
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         m_scr, l_scr, acc_scr = rest
+    g = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -131,7 +144,14 @@ def _flash_kernel(
             # empty rows get +1e30 so backward's exp(logits - lse) == 0
             lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
                             1e30)
-            lse_ref[0, 0] = lse                           # [Tq*h, 1] row-flat
+            # store into the flat [G, rows_total] stats block: transpose
+            # the [rows,1] sublane vector to lanes, dynamic row g / lane
+            # offset qt*rows (see stats_rows note above); g is hoisted to
+            # the kernel top level (program_id inside a pl.when body is
+            # not substituted in interpret mode)
+            rows = block_q * h
+            lane = jax.lax.transpose(lse, (1, 0))         # [1, rows]
+            lse_ref[0, g, pl.dslice(qi * rows, rows)] = lane[0]
 
 
 def _as_t0(t_start, like=None) -> jnp.ndarray:
@@ -212,14 +232,15 @@ def flash_banded(
     )
     out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
     if return_lse:
-        # row-flat stats layout [B, G, S*h, 1] (row = t*h + head): blocks
-        # read as (Tq*h, 1) with no lane<->sublane reshape (unsupported in
-        # Mosaic)
+        # flat stats [B, G, stats_rows]: the whole per-b stats block stays
+        # VMEM-resident across (g, qi, ki) (index changes only with b), so
+        # per-(g,qt) dynamic stores never clobber other rows
         out_specs = [out_specs, pl.BlockSpec(
-            (1, 1, block_q * h, 1), lambda b, g, qi, ki, *_: (b, g, qi, 0),
+            (1, G, stats_rows(S, h)), lambda b, g, qi, ki, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         )]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((B, G, S * h, 1), jnp.float32)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, G, stats_rows(S, h)), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, G, nq, nk),

@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+from nsa_vibe_tpu.ops.pallas.flash import _as_t0, stats_rows
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -141,7 +141,17 @@ def _sel_flash_kernel(
         if return_lse:
             lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
                             1e30)
-            lse_ref[0, 0] = lse                       # [Tq*h, 1] row-flat
+            # flat stats store (see flash.stats_rows)
+            rows = block_q * h
+            lane = jax.lax.transpose(lse, (1, 0))     # [1, rows]
+            lse_ref[0, g, pl.dslice(qt * rows, rows)] = lane[0]
+
+
+def _load_stats(ref, g, row0, rows):
+    """Flat stats block [1, G, rows_total] -> [rows, 1] sublane vector
+    (see flash.stats_rows)."""
+    lane = ref[0, g, pl.dslice(row0, rows)]
+    return jax.lax.transpose(lane.reshape(1, rows), (1, 0))
 
 
 def _tile_active(sel_idx: jnp.ndarray, nq: int, block_q: int, J: int) -> jnp.ndarray:
@@ -201,7 +211,11 @@ def selection_flash_pallas(
                 outs.append(r)
         O = jnp.stack(outs).transpose(1, 0, 2, 3, 4, 5).reshape(B, S, G, h, Dv)
         if return_lse:
-            lse = jnp.stack(lses).transpose(1, 2, 0, 3, 4).reshape(B, G, S * h, 1)
+            lse = jnp.concatenate(
+                [x[:, :, : q_chunk * h] for x in lses], axis=2)
+            pad = stats_rows(S, h) - S * h
+            if pad:
+                lse = jnp.pad(lse, ((0, 0), (0, 0), (0, pad)))
             return O, lse
         return O
 
@@ -226,10 +240,11 @@ def selection_flash_pallas(
     out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
     if return_lse:
         out_specs = [out_specs, pl.BlockSpec(
-            (1, 1, block_q * h, 1), lambda b, g, qt, j, *_: (b, g, qt, 0),
+            (1, G, stats_rows(S, h)), lambda b, g, qt, j, *_: (b, 0, 0),
             memory_space=pltpu.VMEM,
         )]
-        out_shape = [out_shape, jax.ShapeDtypeStruct((B, G, S * h, 1), jnp.float32)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, G, stats_rows(S, h)), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -323,7 +338,7 @@ def _sel_dq_kernel(
         # +1e30 for empty rows, so masked entries underflow to exactly 0
         # without a post-multiply
         logits = logits + (maskf - 1.0) * 1e30
-        lse = lse_ref[0, 0]
+        lse = _load_stats(lse_ref, g, qt * block_q * h, block_q * h)
         p = jnp.exp(logits - lse)
 
         do = do_ref[0, :, 0]
@@ -334,7 +349,7 @@ def _sel_dq_kernel(
         dpv = jax.lax.dot_general(
             dof, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        delta = delta_ref[0, 0]
+        delta = _load_stats(delta_ref, g, qt * block_q * h, block_q * h)
         ds = p * (dpv - delta)
         acc_scr[:] += scale * jax.lax.dot_general(
             ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
@@ -401,7 +416,8 @@ def _sel_dkv_kernel(
         logits = logits + (maskf - 1.0) * 1e30
         flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
         rowvf = (qt * block_q + flat // h) < s
-        lse = jnp.where(rowvf, lse_ref[0, 0], 1e30)
+        lse_raw = _load_stats(lse_ref, g, qt * block_q * h, block_q * h)
+        lse = jnp.where(rowvf, lse_raw, 1e30)
         p = jnp.exp(logits - lse)
 
         do = do_ref[0, :, 0]
@@ -414,7 +430,8 @@ def _sel_dkv_kernel(
         vf = jnp.where(krow < s_kv, v_ref[0, 0], 0)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        delta = jnp.where(rowvf, delta_ref[0, 0], jnp.float32(0.0))
+        delta_raw = _load_stats(delta_ref, g, qt * block_q * h, block_q * h)
+        delta = jnp.where(rowvf, delta_raw, jnp.float32(0.0))
         ds = p * (dpv - delta)
         dk_scr[:] += scale * jax.lax.dot_general(
             ds.astype(q.dtype), qf, (((0,), (0,)), ((), ())),
@@ -437,7 +454,7 @@ def selection_flash_bwd(
     q_chunk=4096,
 ):
     """Backward of selection_flash_pallas. lse/delta: row-flat
-    [B, G, S*h, 1] f32 (row = t*h + head). Returns (dQ, dK, dV); dK/dV
+    [B, G, stats_rows(S, h)] f32 (row = t*h + head). Returns (dQ, dK, dV); dK/dV
     accumulate across q-chunks."""
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
@@ -486,8 +503,8 @@ def selection_flash_bwd(
         return index
 
     t0 = _as_t0(pos_offset)
-    stat_spec = pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, qt, j, *_: (b, g, qt, 0),
+    stat_spec = pl.BlockSpec((1, G, stats_rows(S, h)),
+                             lambda b, g, qt, j, *_: (b, 0, 0),
                              memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_sel_dq_kernel, l_sel=l_sel, scale=scale,
@@ -554,11 +571,11 @@ def selection_flash_bwd(
                 pl.BlockSpec((1, block_q, 1, h, Dv),
                              lambda b, g, jg, qi, oq, cq, t0: (b, q_index(b, g, jg, qi, oq, cq), g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, jg, qi, oq, cq, t0: (b, g, q_index(b, g, jg, qi, oq, cq), 0),
+                pl.BlockSpec((1, G, stats_rows(S, h)),
+                             lambda b, g, jg, qi, oq, cq, t0: (b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q * h, 1),
-                             lambda b, g, jg, qi, oq, cq, t0: (b, g, q_index(b, g, jg, qi, oq, cq), 0),
+                pl.BlockSpec((1, G, stats_rows(S, h)),
+                             lambda b, g, jg, qi, oq, cq, t0: (b, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

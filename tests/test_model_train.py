@@ -55,9 +55,10 @@ def test_remat_matches_no_remat(model):
         return cross_entropy_loss(lg[:, :-1], tokens[:, 1:])
 
     g1 = jax.grad(lambda p: loss_fn(p, False))(params)
-    g2 = jax.grad(lambda p: loss_fn(p, True))(params)
-    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for mode in (True, "mlp"):
+        g2 = jax.grad(lambda p: loss_fn(p, mode))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_model_decode_matches_prefill(model):
