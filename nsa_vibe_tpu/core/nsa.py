@@ -147,7 +147,7 @@ def nsa_prefill(
     # docs/NSA_CHUNKED_SELECTION_SPEC.md) so peak memory is
     # O(prefill_chunk * S_cmp).
     M = jnp.asarray(meta.M_csl[:S_cmp])
-    impl, interpret = _resolve_kernel(cfg.kernel)
+    impl, interpret = _resolve_kernel(cfg.kernel, cfg.h_per_group)
     from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
 
     # S_cmp == 0 (S < l): no compressed tokens — the fused kernel has no

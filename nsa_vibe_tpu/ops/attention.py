@@ -77,14 +77,14 @@ def fused_select_cmp(
 
 
 def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
-    """rowsum(dO * O) in the flat [B, G, stats_rows(S, h)] stats layout
+    """rowsum(dO * O) in the flat [B*G, 1, stats_rows(S, h)] stats layout
     (see ops.pallas.flash.stats_rows — the [.., S*h, 1] form is 128x
     tile-padded on TPU)."""
     from nsa_vibe_tpu.ops.pallas.flash import stats_rows
 
     d = jnp.sum(dO.astype(jnp.float32) * O.astype(jnp.float32), axis=-1)  # [B,S,G,h]
     B, S, G, h = d.shape
-    flat = d.transpose(0, 2, 1, 3).reshape(B, G, S * h)
+    flat = d.transpose(0, 2, 1, 3).reshape(B * G, 1, S * h)
     pad = stats_rows(S, h) - S * h
     return jnp.pad(flat, ((0, 0), (0, 0), (0, pad))) if pad else flat
 
@@ -111,7 +111,7 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool)
     kw["block_q"] = tuned(f"{mode}.block_q")
     # the backward keeps extra live tiles (dO + lse/delta + two scratch
     # accumulators), so its VMEM budget needs its own (smaller) tiles;
-    # lse/delta are plain [B,G,S*h,1] arrays — tiling can differ from fwd
+    # lse/delta are flat [B*G,1,stats_rows] arrays — tiling can differ from fwd
     kwb = dict(kw, block_k=tuned(f"{mode}.bwd_block_k", kw["block_k"]),
                block_q=tuned(f"{mode}.bwd_block_q", 128))
 
@@ -163,14 +163,23 @@ def _on_tpu() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
-def resolve_kernel(kernel: str) -> tuple[str, bool]:
-    """-> (impl, interpret)."""
+def resolve_kernel(kernel: str, h: "int | None" = None) -> tuple[str, bool]:
+    """-> (impl, interpret). `h` = heads per KV group: Mosaic cannot
+    shape-cast the [Tq, h, Dk] -> [Tq*h, Dk] q-tile merge for odd h > 1
+    (verified on v5e: h=3 fails, h=1/2/4/6 compile), so `auto` falls back
+    to the XLA reference path for those shapes."""
+    odd_h = h is not None and h > 1 and h % 2 == 1
     if kernel == "reference":
         return "reference", False
     if kernel == "pallas":
+        if odd_h and _on_tpu():
+            raise ValueError(
+                f"kernel='pallas' with {h} heads per KV group: Mosaic does not "
+                "support odd heads-per-group > 1; use an even n_heads/n_kv_groups "
+                "ratio or kernel='reference'")
         return "pallas", not _on_tpu()
     # auto
-    return ("pallas", False) if _on_tpu() else ("reference", False)
+    return ("pallas", False) if _on_tpu() and not odd_h else ("reference", False)
 
 
 def _with_ref_vjp(pallas_fn: Callable, ref_fn: Callable):
@@ -201,7 +210,7 @@ def sliding_window_attention(
     """t_start: global position of query row 0 (int or traced scalar) —
     required by the Pallas path when t_pos does not start at 0 (sequence
     sharding / chunked prefill). The reference path reads t_pos directly."""
-    impl, interpret = resolve_kernel(kernel)
+    impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if impl == "reference":
         return ref.sliding_window_attention(Q, K, V, t_pos, w, scale)
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
@@ -214,7 +223,7 @@ def compressed_attention(
     num_cmp_t: jnp.ndarray, l: int, d: int, scale: float, kernel: str = "auto",
     t_start=None,
 ) -> jnp.ndarray:
-    impl, interpret = resolve_kernel(kernel)
+    impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if K_cmp.shape[2] == 0:
         # no compressed tokens yet (S < l): the branch contributes zeros
         B, S, G, h, _ = Q.shape
@@ -235,7 +244,7 @@ def selection_attention(
     """Prefill uses the masked block-flash kernel (each block in a q-tile's
     union fetched once); single-query decode uses the per-query gather
     kernel (reads exactly n*l_sel keys)."""
-    impl, interpret = resolve_kernel(kernel)
+    impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if impl == "reference":
         return ref.selection_attention(Q, K, V, sel_idx, t_pos, l_sel, scale)
     if Q.shape[1] == 1:

@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(np.finfo(np.float32).min)
 
-# Row stats (lse/delta) are stored FLAT as [B, G, stats_rows(S, h)] f32.
+# Row stats (lse/delta) are stored FLAT as [B*G, 1, stats_rows(S, h)] f32.
 # A [B, G, S*h, 1] layout tiles the trailing 1 up to 128 lanes — a 128x
 # padded HBM buffer (288 MB for 2.25 MB of data at B=24, m7c shapes) per
 # saved residual. Rows are padded to a block_q-independent bound so
@@ -69,7 +69,6 @@ def _flash_kernel(
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         m_scr, l_scr, acc_scr = rest
-    g = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -144,14 +143,14 @@ def _flash_kernel(
             # empty rows get +1e30 so backward's exp(logits - lse) == 0
             lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
                             1e30)
-            # store into the flat [G, rows_total] stats block: transpose
-            # the [rows,1] sublane vector to lanes, dynamic row g / lane
-            # offset qt*rows (see stats_rows note above); g is hoisted to
-            # the kernel top level (program_id inside a pl.when body is
-            # not substituted in interpret mode)
+            # store into this group's flat [1, rows_total] stats block:
+            # transpose the [rows,1] sublane vector to lanes, dynamic lane
+            # offset qi*rows (see stats_rows note above). The g dim is
+            # handled by the BlockSpec — a dynamic in-kernel sublane index
+            # is an unaligned store Mosaic rejects for small row counts.
             rows = block_q * h
             lane = jax.lax.transpose(lse, (1, 0))         # [1, rows]
-            lse_ref[0, g, pl.dslice(qi * rows, rows)] = lane[0]
+            lse_ref[0, 0, pl.dslice(qi * rows, rows)] = lane[0]
 
 
 def _as_t0(t_start, like=None) -> jnp.ndarray:
@@ -185,7 +184,8 @@ def flash_banded(
     t_start=None,             # traced int32 scalar: global position of row 0
 ):
     """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
-    log-sum-exp [B, G, S, h] float32 when return_lse (backward residual).
+    flat row stats [B*G, 1, stats_rows(S, h)] f32 when return_lse
+    (backward residual; see stats_rows).
 
     Consumes Q in the module's native [B,S,G,h,Dk] layout via BlockSpec
     indexing — no transposes (a materialized relayout of Q/O costs more
@@ -232,15 +232,18 @@ def flash_banded(
     )
     out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
     if return_lse:
-        # flat stats [B, G, stats_rows]: the whole per-b stats block stays
-        # VMEM-resident across (g, qi, ki) (index changes only with b), so
-        # per-(g,qt) dynamic stores never clobber other rows
+        # flat stats [B*G, 1, stats_rows], one per-(b,g) block: the block
+        # stays VMEM-resident across (qi, ki) (index changes only with
+        # b,g), so per-qt dynamic lane stores never clobber other rows.
+        # Rank-3 with a unit middle dim keeps the block's last-two dims
+        # equal to the array's (the Pallas lowering rule) for any G, and
+        # in-kernel indices are [0, 0, lane] — no dynamic sublane.
         out_specs = [out_specs, pl.BlockSpec(
-            (1, G, stats_rows(S, h)), lambda b, g, qi, ki, *_: (b, 0, 0),
+            (1, 1, stats_rows(S, h)), lambda b, g, qi, ki, *_: (b * G + g, 0, 0),
             memory_space=pltpu.VMEM,
         )]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, G, stats_rows(S, h)), jnp.float32)]
+                     jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, G, nq, nk),

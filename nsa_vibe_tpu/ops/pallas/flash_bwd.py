@@ -33,10 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 from nsa_vibe_tpu.ops.pallas.flash import _bounds_fn, stats_rows
 
 
-def _load_stats(ref, g, row0, rows):
-    """Flat stats block [1, G, rows_total] -> [rows, 1] sublane vector
-    for rows [row0, row0+rows) of group g (see flash.stats_rows)."""
-    lane = ref[0, g, pl.dslice(row0, rows)]               # (rows,) lanes
+def _load_stats(ref, row0, rows):
+    """Per-(b,g) flat stats block [1, 1, rows_total] -> [rows, 1] sublane
+    vector for rows [row0, row0+rows) (see flash.stats_rows)."""
+    lane = ref[0, 0, pl.dslice(row0, rows)]               # (rows,) lanes
     return jax.lax.transpose(lane.reshape(1, rows), (1, 0))
 
 NEG_INF = float(np.finfo(np.float32).min)
@@ -53,7 +53,6 @@ def _dq_kernel(
     t0_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
     *, mode, w, l, d, scale, block_q, block_k, h, nk_grid, s_kv,
 ):
-    g_id = pl.program_id(1)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -90,7 +89,7 @@ def _dq_kernel(
         logits = (logits.reshape(block_q, h, block_k)
                   + ((maskf - 1.0) * 1e30)[:, None, :]
                   ).reshape(block_q * h, block_k)
-        lse = _load_stats(lse_ref, g_id, qi * block_q * h,
+        lse = _load_stats(lse_ref, qi * block_q * h,
                           block_q * h)                    # [rows,1]
         p = jnp.exp(logits - lse)                         # masked -> exactly 0
                                                           # (empty rows: lse=+1e30)
@@ -105,7 +104,7 @@ def _dq_kernel(
         dpv = jax.lax.dot_general(
             dof, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                  # [rows, Tk]
-        delta = _load_stats(delta_ref, g_id, qi * block_q * h,
+        delta = _load_stats(delta_ref, qi * block_q * h,
                             block_q * h)
         ds = p * (dpv - delta)
         acc_scr[:] += scale * jax.lax.dot_general(
@@ -141,7 +140,6 @@ def _dkv_kernel(
     dk_scr, dv_scr,
     *, mode, w, l, d, scale, block_q, block_k, h, nq_grid, s, s_kv,
 ):
-    g_id = pl.program_id(1)
     ki = pl.program_id(2)
     qi_rel = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -181,7 +179,7 @@ def _dkv_kernel(
         # flat-row validity via iota (Mosaic cannot reshape i1 vectors)
         flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
         rowvf = (qt * block_q + flat // h) < s            # [rows,1] bool
-        lse_raw = _load_stats(lse_ref, g_id, qt * block_q * h,
+        lse_raw = _load_stats(lse_ref, qt * block_q * h,
                               block_q * h)
         lse = jnp.where(rowvf, lse_raw, EMPTY_LSE)
         p = jnp.exp(logits - lse)                         # [rows, Tk]
@@ -200,7 +198,7 @@ def _dkv_kernel(
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        delta_raw = _load_stats(delta_ref, g_id, qt * block_q * h,
+        delta_raw = _load_stats(delta_ref, qt * block_q * h,
                                 block_q * h)
         delta = jnp.where(rowvf, delta_raw, jnp.float32(0.0))
         ds = p * (dpv - delta)
@@ -224,7 +222,7 @@ def flash_banded_bwd(
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=128, interpret=False,
     t_start=None,
 ):
-    """lse/delta: flat [B, G, stats_rows(S, h)] float32 (row = t*h + head).
+    """lse/delta: flat [B*G, 1, stats_rows(S, h)] float32 (row = t*h + head).
     Returns (dQ, dK, dV). `t_start`: traced global position of row 0
     (sequence-sharded / chunked prefill)."""
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
@@ -256,8 +254,8 @@ def flash_banded_bwd(
                           memory_space=pltpu.VMEM)
     do_spec = pl.BlockSpec((1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
                            memory_space=pltpu.VMEM)
-    stat_spec = pl.BlockSpec((1, G, stats_rows(S, h)),
-                             lambda b, g, qi, ki, *_: (b, 0, 0),
+    stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, qi, ki, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, mode=mode, w=w, l=l, d=d, scale=scale,
@@ -313,11 +311,11 @@ def flash_banded_bwd(
                 pl.BlockSpec((1, block_q, 1, h, Dv),
                              lambda b, g, ki, qi, t0: (b, q_index(b, g, ki, qi, t0), g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, stats_rows(S, h)),
-                             lambda b, g, ki, qi, t0: (b, 0, 0),
+                pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, ki, qi, t0: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, stats_rows(S, h)),
-                             lambda b, g, ki, qi, t0: (b, 0, 0),
+                pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, ki, qi, t0: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

@@ -47,7 +47,6 @@ def _scorer_kernel(
     VMEM by BlockSpec one [cmp_chunk, S_sel] slab at a time, so S_cmp is
     unbounded (64k+ prefill) while the p_slc accumulator stays
     [rows, S_sel] in scratch."""
-    g = pl.program_id(1)
     qt = pl.program_id(2)
     c = pl.program_id(3)
     q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
@@ -229,7 +228,6 @@ def _select_cmp_kernel(
     ids) and p @ V_cmp (-> O_cmp + lse for the analytical backward).
     Halves the Q·K_cmp matmul/exp/mask work and drops one kernel launch
     per layer vs running scorer + cmp flash separately."""
-    g = pl.program_id(1)
     qt = pl.program_id(2)
     c = pl.program_id(3)
     q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
@@ -283,10 +281,10 @@ def _select_cmp_kernel(
         o_cmp_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_cmp_ref.dtype)
         lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
                         1e30)
-        # flat stats store (see flash.stats_rows; g hoisted — program_id
-        # inside a pl.when body is not substituted in interpret mode)
+        # flat per-(b,g) stats store (see flash.stats_rows — the g dim
+        # lives in the BlockSpec; dynamic sublane stores are unaligned)
         lane = jax.lax.transpose(lse, (1, 0))                         # [1, rows]
-        lse_ref[0, g, pl.dslice(qt * rows, rows)] = lane[0]
+        lse_ref[0, 0, pl.dslice(qt * rows, rows)] = lane[0]
         _scorer_topn(
             acc_slc[:], denom, tpos, o_sel_ref,
             l_sel=l_sel, n_top=n_top, n_forced=n_forced,
@@ -316,7 +314,7 @@ def nsa_select_and_cmp_pallas(
 ):
     """Fused selection + compressed attention. Returns
     (sel_idx [B,S,G,n_top] i32, O_cmp [B,S,G,h,Dv],
-    lse [B,G,stats_rows(S,h)] f32 — flat row stats, see flash.stats_rows)."""
+    lse [B*G,1,stats_rows(S,h)] f32 — flat row stats, see flash.stats_rows)."""
     B, S, G, h, Dk = Q.shape
     Dv = V_cmp.shape[3]
     S_cmp, S_sel = M_csl.shape
@@ -366,8 +364,8 @@ def nsa_select_and_cmp_pallas(
                 pl.BlockSpec((1, block_q, 1, h, Dv),
                              lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, stats_rows(S, h)),
-                             lambda b, g, qt, c, *_: (b, 0, 0),
+                pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, qt, c, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -380,7 +378,7 @@ def nsa_select_and_cmp_pallas(
         out_shape=[
             jax.ShapeDtypeStruct((B, G, S, n_top), jnp.int32),
             jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype),
-            jax.ShapeDtypeStruct((B, G, stats_rows(S, h)), jnp.float32),
+            jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32),
         ],
         interpret=interpret,
     )(t0, Q, K_cmp, V_cmp, M_f)

@@ -141,16 +141,16 @@ def _sel_flash_kernel(
         if return_lse:
             lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
                             1e30)
-            # flat stats store (see flash.stats_rows)
+            # flat per-(b,g) stats store (see flash.stats_rows)
             rows = block_q * h
             lane = jax.lax.transpose(lse, (1, 0))     # [1, rows]
-            lse_ref[0, g, pl.dslice(qt * rows, rows)] = lane[0]
+            lse_ref[0, 0, pl.dslice(qt * rows, rows)] = lane[0]
 
 
-def _load_stats(ref, g, row0, rows):
-    """Flat stats block [1, G, rows_total] -> [rows, 1] sublane vector
-    (see flash.stats_rows)."""
-    lane = ref[0, g, pl.dslice(row0, rows)]
+def _load_stats(ref, row0, rows):
+    """Per-(b,g) flat stats block [1, 1, rows_total] -> [rows, 1] sublane
+    vector (see flash.stats_rows)."""
+    lane = ref[0, 0, pl.dslice(row0, rows)]
     return jax.lax.transpose(lane.reshape(1, rows), (1, 0))
 
 
@@ -240,11 +240,11 @@ def selection_flash_pallas(
     out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
     if return_lse:
         out_specs = [out_specs, pl.BlockSpec(
-            (1, G, stats_rows(S, h)), lambda b, g, qt, j, *_: (b, 0, 0),
+            (1, 1, stats_rows(S, h)), lambda b, g, qt, j, *_: (b * G + g, 0, 0),
             memory_space=pltpu.VMEM,
         )]
         out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, G, stats_rows(S, h)), jnp.float32)]
+                     jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -338,7 +338,7 @@ def _sel_dq_kernel(
         # +1e30 for empty rows, so masked entries underflow to exactly 0
         # without a post-multiply
         logits = logits + (maskf - 1.0) * 1e30
-        lse = _load_stats(lse_ref, g, qt * block_q * h, block_q * h)
+        lse = _load_stats(lse_ref, qt * block_q * h, block_q * h)
         p = jnp.exp(logits - lse)
 
         do = do_ref[0, :, 0]
@@ -349,7 +349,7 @@ def _sel_dq_kernel(
         dpv = jax.lax.dot_general(
             dof, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        delta = _load_stats(delta_ref, g, qt * block_q * h, block_q * h)
+        delta = _load_stats(delta_ref, qt * block_q * h, block_q * h)
         ds = p * (dpv - delta)
         acc_scr[:] += scale * jax.lax.dot_general(
             ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
@@ -416,7 +416,7 @@ def _sel_dkv_kernel(
         logits = logits + (maskf - 1.0) * 1e30
         flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
         rowvf = (qt * block_q + flat // h) < s
-        lse_raw = _load_stats(lse_ref, g, qt * block_q * h, block_q * h)
+        lse_raw = _load_stats(lse_ref, qt * block_q * h, block_q * h)
         lse = jnp.where(rowvf, lse_raw, 1e30)
         p = jnp.exp(logits - lse)
 
@@ -430,7 +430,7 @@ def _sel_dkv_kernel(
         vf = jnp.where(krow < s_kv, v_ref[0, 0], 0)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        delta_raw = _load_stats(delta_ref, g, qt * block_q * h, block_q * h)
+        delta_raw = _load_stats(delta_ref, qt * block_q * h, block_q * h)
         delta = jnp.where(rowvf, delta_raw, jnp.float32(0.0))
         ds = p * (dpv - delta)
         dk_scr[:] += scale * jax.lax.dot_general(
@@ -454,7 +454,7 @@ def selection_flash_bwd(
     q_chunk=4096,
 ):
     """Backward of selection_flash_pallas. lse/delta: row-flat
-    [B, G, stats_rows(S, h)] f32 (row = t*h + head). Returns (dQ, dK, dV); dK/dV
+    [B*G, 1, stats_rows(S, h)] f32 (row = t*h + head). Returns (dQ, dK, dV); dK/dV
     accumulate across q-chunks."""
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
@@ -503,8 +503,8 @@ def selection_flash_bwd(
         return index
 
     t0 = _as_t0(pos_offset)
-    stat_spec = pl.BlockSpec((1, G, stats_rows(S, h)),
-                             lambda b, g, qt, j, *_: (b, 0, 0),
+    stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, qt, j, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_sel_dq_kernel, l_sel=l_sel, scale=scale,
@@ -571,11 +571,11 @@ def selection_flash_bwd(
                 pl.BlockSpec((1, block_q, 1, h, Dv),
                              lambda b, g, jg, qi, oq, cq, t0: (b, q_index(b, g, jg, qi, oq, cq), g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, stats_rows(S, h)),
-                             lambda b, g, jg, qi, oq, cq, t0: (b, 0, 0),
+                pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, jg, qi, oq, cq, t0: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, G, stats_rows(S, h)),
-                             lambda b, g, jg, qi, oq, cq, t0: (b, 0, 0),
+                pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, jg, qi, oq, cq, t0: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[

@@ -88,7 +88,7 @@ def context_parallel_prefill(
     M = jnp.asarray(meta.M_csl[:S_cmp])
     scale = 1.0 / float(np.sqrt(cfg.d_k))
     G, h = cfg.n_kv_groups, cfg.h_per_group
-    impl, interpret = resolve_kernel(cfg.kernel)
+    impl, interpret = resolve_kernel(cfg.kernel, cfg.h_per_group)
 
     def shard_fn(params, x_local):
         return nsa_attention_cp_local(
@@ -209,7 +209,7 @@ def context_parallel_model_forward(
     meta = build_block_meta(S, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
     S_cmp = int(num_cmp_blocks(S, cfg.l, cfg.d))
     M = jnp.asarray(meta.M_csl[:S_cmp])
-    impl, interpret = resolve_kernel(cfg.kernel)
+    impl, interpret = resolve_kernel(cfg.kernel, cfg.h_per_group)
     dtype = jnp.dtype(mcfg.dtype)
 
     def local_fn(params, tok_local):

@@ -76,3 +76,21 @@ def test_gate_stats_detect_collapse():
     stats = gate_stats(g)
     assert float(stats["collapse_fraction"]) == 1.0
     assert float(stats["max_gate_mean"]) > 0.9
+
+
+def test_resolve_kernel_odd_heads_per_group(monkeypatch):
+    """Mosaic cannot merge [Tq, h, Dk] q-tiles for odd h > 1 (v5e:
+    h=3 fails the shape cast; h=1/2/4/6 compile). `auto` must fall back
+    to the XLA reference path and explicit `pallas` must refuse."""
+    from nsa_vibe_tpu.ops import attention
+
+    monkeypatch.setattr(attention, "_on_tpu", lambda: True)
+    assert attention.resolve_kernel("auto", 3)[0] == "reference"
+    assert attention.resolve_kernel("auto", 2)[0] == "pallas"
+    assert attention.resolve_kernel("auto", 1)[0] == "pallas"
+    assert attention.resolve_kernel("auto", 6)[0] == "pallas"
+    with pytest.raises(ValueError, match="odd heads-per-group"):
+        attention.resolve_kernel("pallas", 5)
+    # off-TPU: interpret-mode pallas is fine for any h (jnp semantics)
+    monkeypatch.setattr(attention, "_on_tpu", lambda: False)
+    assert attention.resolve_kernel("pallas", 3) == ("pallas", True)
