@@ -104,7 +104,8 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
     if args.n_layers is not None:
         m_over["n_layers"] = args.n_layers
     if args.remat:
-        m_over["remat"] = True
+        # True = remat whole blocks; "mlp" = recompute only the MLP
+        m_over["remat"] = True if args.remat is True else args.remat
     if args.dtype is not None:
         m_over["dtype"] = args.dtype
     if m_over:
@@ -343,7 +344,8 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--n-layers", dest="n_layers", type=int, default=None)
-    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat", nargs="?", const=True, default=False,
+                    help="full block remat; --remat mlp = MLP-only")
     ap.add_argument("--dtype", default=None)
     ap.add_argument("--save-every", dest="save_every", type=int, default=None)
     ap.add_argument("--eval-every", dest="eval_every", type=int, default=None)
