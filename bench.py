@@ -3,10 +3,14 @@
 Reproduces the reference's north-star decode benchmark workload
 (bench/bench_decode.py:60-136: prefill a context of S tokens, then time
 single-token decode steps) on the reference's published test config
-(4 heads / 2 GQA groups / d_k = d_v = 64, decode_benchmark_v2_summary.md).
+(4 heads / 2 GQA groups / d_k = d_v = 64, decode_benchmark_v2_summary.md),
+swept over S in {512, 1024, 2048, 4096} (BASELINE.md north star: "decode
+step latency at S=4096 beating the reference baseline per chip").
 
-Baseline to beat: 5.99 ms/step at S=1024 on RTX 4090 (BASELINE.md).
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baselines to beat: 5.89/5.99 ms at S=512/1024 on RTX 4090
+(decode_benchmark_v2_summary.md:10-26); the reference's decode is flat
+(launch-bound), so 5.99 also stands in for S=2048/4096.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "sweep"}.
 """
 
 from __future__ import annotations
@@ -18,7 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BASELINE_MS = {128: 5.86, 256: 5.93, 512: 5.89, 1024: 5.99}
+BASELINE_MS = {128: 5.86, 256: 5.93, 512: 5.89, 1024: 5.99,
+               2048: 5.99, 4096: 5.99}
+SWEEP_S = (512, 1024, 2048, 4096)
 
 
 def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
@@ -100,16 +106,19 @@ def bench_decode_chained(S: int = 1024, n_short: int = 64, n_long: int = 1024) -
 
 
 def main() -> None:
-    S = 1024
-    ms = bench_decode(S)
-    ms_chained = bench_decode_chained(S)
-    base = BASELINE_MS[S]
+    sweep = {S: bench_decode(S) for S in SWEEP_S}
+    S_star = 4096                       # BASELINE.md's stated target length
+    ms_chained = bench_decode_chained(S_star)
+    ms = sweep[S_star]
+    base = BASELINE_MS[S_star]
     print(json.dumps({
-        "metric": f"decode_ms_per_step_S{S}",
+        "metric": f"decode_ms_per_step_S{S_star}",
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(base / ms, 3),  # >1 = faster than reference 4090
         "ms_per_step_chained": round(ms_chained, 4),  # device-only latency
+        "sweep": {f"decode_ms_per_step_S{S}": round(v, 4)
+                  for S, v in sweep.items()},
     }))
 
 

@@ -116,8 +116,18 @@ def main() -> None:
     if args.write:
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "configs", "kernel_tuning.json")
+        # read-modify-write: this sweep covers forward tiles only — keep the
+        # checked-in bwd_* entries (dropping them reverts backward tiles to
+        # the 128 defaults, ~-3.6% end-to-end)
+        existing = {}
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except (OSError, ValueError):
+            pass
+        existing.update(winners)
         with open(path, "w") as f:
-            json.dump(winners, f, indent=2)
+            json.dump(existing, f, indent=2)
         print(f"wrote {path}")
 
 

@@ -19,8 +19,10 @@ Capacity C is the max sequence length; C_cmp = num_cmp(C).
 
 Caution: decoding past capacity does not raise inside jit — XLA
 dynamic_update_slice clamps the write index, silently overwriting the
-last row. Callers must size `capacity` for prompt + max new tokens (the
-generation loop in models/ checks this host-side before stepping).
+last row. `nsa_decode_step` reports this in-graph as `info.overflow`
+(True on any step with t >= capacity); the generation loops in models/
+additionally check capacity host-side before stepping. Raw decode-step
+callers must check one or the other.
 """
 
 from __future__ import annotations

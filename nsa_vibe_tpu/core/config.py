@@ -108,7 +108,9 @@ class TrainConfig:
     eval_every: int = 0
     out_dir: str = "artifacts/train"
     # parallelism
-    dp: int = 1                # data-parallel axis size
+    dp: int = 0                # data-parallel axis size; 0 = infer from devices
+                               # (an explicit dp that mismatches the device
+                               # count fails loudly in make_mesh)
     tp: int = 1                # tensor-parallel (head/group) axis size
     sp: int = 1                # sequence-parallel axis size (context-parallel attention)
     fsdp: bool = False         # fully shard params/optimizer over dp (ZeRO-3)

@@ -43,6 +43,9 @@ class DecodeInfo(NamedTuple):
     sel_valid_tokens: jnp.ndarray  # actual un-masked gathered tokens (per B,G mean)
     sel_idx: jnp.ndarray      # [B,1,G,n] selected blocks
     gates: jnp.ndarray        # [B,1,G,3]
+    overflow: jnp.ndarray     # bool: this step wrote past cache capacity
+                              # (XLA clamps the write index — the output is
+                              # garbage; callers must check or size capacity)
 
 
 def _masked_single_query_attention(Q, K, V, valid, scale):
@@ -164,6 +167,7 @@ def nsa_decode_step(
         sel_valid_tokens=sel_valid.sum(axis=(-1, -2)).mean(),
         sel_idx=sel_idx,
         gates=gates,
+        overflow=t >= C,
     )
     return out, new_cache, info
 

@@ -50,11 +50,16 @@ def fused_select_cmp(
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
     from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_and_cmp_pallas
 
+    Q, h = _pad_odd_heads(Q)
     kwf = dict(scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
                force_init=force_init, force_local=force_local,
-               interpret=interpret)
+               interpret=interpret,
+               h_real=h if Q.shape[3] != h else None)
+    # backward gets its own (smaller) tile budget, same keys as _flash_vjp —
+    # forward tiles here could VMEM-OOM the backward's extra live buffers
     kwb = dict(mode="cmp", l=l, d=d, scale=scale, interpret=interpret,
-               block_k=tuned("cmp.block_k"), block_q=tuned("cmp.block_q"))
+               block_k=tuned("cmp.bwd_block_k", tuned("cmp.block_k")),
+               block_q=tuned("cmp.bwd_block_q", 128))
 
     @jax.custom_vjp
     def f(t0, Q, K, V, M):
@@ -73,7 +78,8 @@ def fused_select_cmp(
         return (_int_cotangent(t0), dq, dk, dv, jnp.zeros_like(M))
 
     f.defvjp(fwd, bwd)
-    return f(_as_t0(t_start), Q, K_cmp, V_cmp, M)
+    sel, O = f(_as_t0(t_start), Q, K_cmp, V_cmp, M)
+    return (sel, O[:, :, :, :h]) if Q.shape[3] != h else (sel, O)
 
 
 def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
@@ -164,22 +170,29 @@ def _on_tpu() -> bool:
 
 
 def resolve_kernel(kernel: str, h: "int | None" = None) -> tuple[str, bool]:
-    """-> (impl, interpret). `h` = heads per KV group: Mosaic cannot
-    shape-cast the [Tq, h, Dk] -> [Tq*h, Dk] q-tile merge for odd h > 1
-    (verified on v5e: h=3 fails, h=1/2/4/6 compile), so `auto` falls back
-    to the XLA reference path for those shapes."""
-    odd_h = h is not None and h > 1 and h % 2 == 1
+    """-> (impl, interpret). Any heads-per-group works on the Pallas path:
+    odd h > 1 (which Mosaic cannot shape-cast [Tq,h,Dk]->[Tq*h,Dk];
+    verified on v5e: h=3 fails, h=1/2/4/6 compile) is handled by padding Q
+    with one zero head at dispatch (_pad_odd_heads) — matching the
+    reference's any-H kernels (triton_sel_kernel/sel_fwd.py:453-456)."""
+    del h  # all head counts supported (kept for call-site compatibility)
     if kernel == "reference":
         return "reference", False
     if kernel == "pallas":
-        if odd_h and _on_tpu():
-            raise ValueError(
-                f"kernel='pallas' with {h} heads per KV group: Mosaic does not "
-                "support odd heads-per-group > 1; use an even n_heads/n_kv_groups "
-                "ratio or kernel='reference'")
         return "pallas", not _on_tpu()
-    # auto
-    return ("pallas", False) if _on_tpu() and not odd_h else ("reference", False)
+    return ("pallas", False) if _on_tpu() else ("reference", False)
+
+
+def _pad_odd_heads(Q: jnp.ndarray) -> tuple[jnp.ndarray, int]:
+    """Pad the head axis of Q [B,S,G,h,Dk] to an even count with one zero
+    head. Per-head attention outputs are independent, so slicing the pad
+    head off afterwards is exact; a zero-Q pad head also contributes
+    exactly zero to dK/dV in the backwards (dO rows are zero => ds = 0).
+    Returns (Q_padded, h_real)."""
+    h = Q.shape[3]
+    if h > 1 and h % 2 == 1:
+        Q = jnp.pad(Q, ((0, 0), (0, 0), (0, 0), (0, 1), (0, 0)))
+    return Q, h
 
 
 def _with_ref_vjp(pallas_fn: Callable, ref_fn: Callable):
@@ -215,7 +228,9 @@ def sliding_window_attention(
         return ref.sliding_window_attention(Q, K, V, t_pos, w, scale)
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
-    return _flash_vjp("win", w, 0, 1, scale, interpret)(_as_t0(t_start), Q, K, V)
+    Qp, h = _pad_odd_heads(Q)
+    out = _flash_vjp("win", w, 0, 1, scale, interpret)(_as_t0(t_start), Qp, K, V)
+    return out[:, :, :, :h] if Qp.shape[3] != h else out
 
 
 def compressed_attention(
@@ -232,7 +247,9 @@ def compressed_attention(
         return ref.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
-    return _flash_vjp("cmp", 0, l, d, scale, interpret)(_as_t0(t_start), Q, K_cmp, V_cmp)
+    Qp, h = _pad_odd_heads(Q)
+    out = _flash_vjp("cmp", 0, l, d, scale, interpret)(_as_t0(t_start), Qp, K_cmp, V_cmp)
+    return out[:, :, :, :h] if Qp.shape[3] != h else out
 
 
 def selection_attention(
@@ -259,5 +276,7 @@ def selection_attention(
         return f(Q, K, V)
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
-    return _sel_flash_vjp(l_sel, scale, interpret)(
-        sel_idx, _as_t0(pos_offset), Q, K, V)
+    Qp, h = _pad_odd_heads(Q)
+    out = _sel_flash_vjp(l_sel, scale, interpret)(
+        sel_idx, _as_t0(pos_offset), Qp, K, V)
+    return out[:, :, :, :h] if Qp.shape[3] != h else out

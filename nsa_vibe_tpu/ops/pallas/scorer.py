@@ -42,6 +42,7 @@ def _scorer_kernel(
     *, scale: float, l: int, d: int, l_sel: int,
     n_top: int, n_forced: int, force_init: bool, force_local: int,
     block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
+    h_real=None,
 ):
     """Grid-streamed over S_cmp chunks: the Eq. 9 map M is tiled through
     VMEM by BlockSpec one [cmp_chunk, S_sel] slab at a time, so S_cmp is
@@ -92,14 +93,20 @@ def _scorer_kernel(
             acc_scr[:], l_scr[:], tpos, o_ref,
             l_sel=l_sel, n_top=n_top, n_forced=n_forced,
             force_init=force_init, force_local=force_local,
-            block_q=block_q, h=h, s_sel=s_sel,
+            block_q=block_q, h=h, s_sel=s_sel, h_real=h_real,
         )
 
 
 def _scorer_topn(acc, l_run, tpos, o_ref, *, l_sel, n_top, n_forced,
-                 force_init, force_local, block_q, h, s_sel):
+                 force_init, force_local, block_q, h, s_sel, h_real=None):
     p_slc = acc / jnp.where(l_run > 0, l_run, 1.0)
     p_slc = jnp.where(l_run > 0, p_slc, 0.0)                          # rows w/o cmp tokens
+    if h_real is not None and h_real != h:
+        # odd heads-per-group run with one zero-Q pad head (Mosaic can't
+        # shape-cast [Tq,h,Dk]->[Tq*h,Dk] for odd h>1); its softmax is
+        # uniform garbage — zero those rows so Eq. 10 sums real heads only
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+        p_slc = jnp.where(ridx % h < h_real, p_slc, 0.0)
     p_grp = p_slc.reshape(block_q, h, s_sel).sum(axis=1)              # Eq. 10 [Tq, S_sel]
 
     # --- deterministic top-n with forced blocks (Eq. 11-12) ---
@@ -134,7 +141,7 @@ def _scorer_topn(acc, l_run, tpos, o_ref, *, l_sel, n_top, n_forced,
     jax.jit,
     static_argnames=("scale", "l", "d", "l_sel", "n_top", "force_init",
                      "force_local", "block_q", "cmp_chunk",
-                     "interpret"),
+                     "interpret", "h_real"),
 )
 def nsa_select_pallas(
     Q: jnp.ndarray,        # [B, S, G, h, Dk]  (RoPE'd)
@@ -148,9 +155,11 @@ def nsa_select_pallas(
     block_q: int = 128,
     cmp_chunk: int = 512,
     interpret: bool = False,
+    h_real: "int | None" = None,
 ) -> jnp.ndarray:
     """Returns sel_idx [B, S, G, n_top] int32 (set representation; see
-    module docstring)."""
+    module docstring). h_real: real head count when Q carries a zero pad
+    head (odd heads-per-group; see attention._pad_odd_heads)."""
     B, S, G, h, Dk = Q.shape
     S_cmp, S_sel = M_csl.shape
     if S_cmp == 0:
@@ -182,7 +191,7 @@ def nsa_select_pallas(
         _scorer_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
         n_forced=n_forced, force_init=force_init, force_local=force_local,
         block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
-        s_cmp=S_cmp, s_sel=S_sel,
+        s_cmp=S_cmp, s_sel=S_sel, h_real=h_real,
     )
     t0 = _as_t0(pos_offset)
     out = pl.pallas_call(
@@ -221,6 +230,7 @@ def _select_cmp_kernel(
     *, scale: float, l: int, d: int, l_sel: int,
     n_top: int, n_forced: int, force_init: bool, force_local: int,
     block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
+    h_real=None,
 ):
     """Fused Eq. 8-12 selection AND compressed-branch attention: both
     consume softmax(Q K_cmp^T) under the same prefix visibility, so one
@@ -289,14 +299,15 @@ def _select_cmp_kernel(
             acc_slc[:], denom, tpos, o_sel_ref,
             l_sel=l_sel, n_top=n_top, n_forced=n_forced,
             force_init=force_init, force_local=force_local,
-            block_q=block_q, h=h, s_sel=s_sel,
+            block_q=block_q, h=h, s_sel=s_sel, h_real=h_real,
         )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "l", "d", "l_sel", "n_top", "force_init",
-                     "force_local", "block_q", "cmp_chunk", "interpret"),
+                     "force_local", "block_q", "cmp_chunk", "interpret",
+                     "h_real"),
 )
 def nsa_select_and_cmp_pallas(
     Q: jnp.ndarray,        # [B, S, G, h, Dk]  (RoPE'd)
@@ -311,6 +322,7 @@ def nsa_select_and_cmp_pallas(
     block_q: int = 128,
     cmp_chunk: int = 512,
     interpret: bool = False,
+    h_real: "int | None" = None,
 ):
     """Fused selection + compressed attention. Returns
     (sel_idx [B,S,G,n_top] i32, O_cmp [B,S,G,h,Dv],
@@ -336,7 +348,7 @@ def nsa_select_and_cmp_pallas(
         _select_cmp_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
         n_forced=n_forced, force_init=force_init, force_local=force_local,
         block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
-        s_cmp=S_cmp, s_sel=S_sel,
+        s_cmp=S_cmp, s_sel=S_sel, h_real=h_real,
     )
     t0 = _as_t0(pos_offset)
     sel, O, lse = pl.pallas_call(

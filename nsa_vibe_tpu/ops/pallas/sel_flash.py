@@ -119,7 +119,11 @@ def _sel_flash_kernel(
         logits = logits + (maskf - 1.0) * 1e30
 
         m_prev = m_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True))
+        # floor the running max (same as flash.py): a row whose every key in
+        # this step is masked would otherwise get m_new=-1e30 and accumulate
+        # exp(0)=1 garbage into l/acc; with the floor, masked -> exactly 0
+        m_new = jnp.maximum(
+            jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True)), -1e20)
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)

@@ -108,11 +108,13 @@ def context_parallel_prefill(
 def nsa_attention_cp_local(
     params: dict, x_local: jnp.ndarray, cfg: NSAConfig, axis: str,
     S: int, S_cmp: int, S_sel: int, M: jnp.ndarray,
-    impl: str, interpret: bool,
+    impl: str, interpret: bool, collect_aux: bool = False,
 ) -> jnp.ndarray:
     """Sequence-sharded NSA attention body — runs INSIDE shard_map.
     x_local: this shard's [B, S/sp, dim] slice; returns the local output
-    slice. Composable into larger shard_map programs (model_forward_cp)."""
+    slice (or (out, {gates, sel_idx}) with collect_aux — per-shard rows,
+    for gate/selection observability). Composable into larger shard_map
+    programs (model_forward_cp)."""
     G, h = cfg.n_kv_groups, cfg.h_per_group
     scale = 1.0 / float(np.sqrt(cfg.d_k))
     S_local = x_local.shape[1]
@@ -176,7 +178,9 @@ def nsa_attention_cp_local(
         Q, K_win_f, V_win_f, t_pos, cfg.w, scale, kernel=cfg.kernel,
         t_start=t0,
     )
-    out, _ = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
+    out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
+    if collect_aux:
+        return out, {"gates": gates, "sel_idx": sel_idx}
     return out
 
 
@@ -190,11 +194,15 @@ def context_parallel_model_forward(
     mesh: Mesh,
     axis: str = "sp",
     batch_axis: Optional[str] = None,
+    collect_aux: bool = False,
 ) -> jnp.ndarray:
     """TinyLM forward with every layer's attention sequence-sharded over
     `axis`. tokens: [B, S] int32 -> logits [B, S, vocab] (sharded over
-    axis on S). Embedding / norms / MLP / LM head are per-token and run
-    on local shards; only the attention gathers K/V over ICI.
+    axis on S), or (logits, (gates [L,B,S,G,3], sel_idx [L,B,S,G,n]))
+    with collect_aux — gate/selection observability stays live under CP
+    (the watchdog's gate-collapse detection depends on it). Embedding /
+    norms / MLP / LM head are per-token and run on local shards; only the
+    attention gathers K/V over ICI.
 
     The reference has no model-level sequence parallelism at all — this
     is the pod-scale long-context training path the north star requires.
@@ -215,25 +223,51 @@ def context_parallel_model_forward(
     def local_fn(params, tok_local):
         x = params["embed"][tok_local].astype(dtype)
 
+        # remat contract mirrors tinylm/llama_block: True/"full" checkpoints
+        # the whole block; "mlp" checkpoints only the MLP (keeps the Pallas
+        # attention forwards out of the backward recompute — measured +26%
+        # at S=8192)
+        mlp_fn = jax.checkpoint(mlp) if mcfg.remat == "mlp" else mlp
+
         def run_block(bp, x):
             h = rmsnorm(x, bp["attn_norm"], mcfg.rmsnorm_eps)
-            x = x + nsa_attention_cp_local(
-                bp["attn"], h, cfg, axis, S, S_cmp, meta.S_sel, M, impl, interpret
+            a = nsa_attention_cp_local(
+                bp["attn"], h, cfg, axis, S, S_cmp, meta.S_sel, M, impl,
+                interpret, collect_aux=collect_aux,
             )
-            x = x + mlp(bp["mlp"], rmsnorm(x, bp["mlp_norm"], mcfg.rmsnorm_eps))
-            return x
+            a, aux = a if collect_aux else (a, None)
+            x = x + a
+            x = x + mlp_fn(bp["mlp"], rmsnorm(x, bp["mlp_norm"], mcfg.rmsnorm_eps))
+            return x, aux
 
-        if mcfg.remat:
+        if mcfg.remat in (True, "full"):
             run_block = jax.checkpoint(run_block)
+        auxes = []
         for bp in params["blocks"]:
-            x = run_block(bp, x)
+            x, aux = run_block(bp, x)
+            auxes.append(aux)
         x = rmsnorm(x, params["final_norm"], mcfg.rmsnorm_eps)
-        return x @ params["lm_head"]
+        logits = x @ params["lm_head"]
+        if collect_aux:
+            gates = jnp.stack([a["gates"] for a in auxes])     # [L,B,Sl,G,3]
+            sel = jnp.stack([a["sel_idx"] for a in auxes])     # [L,B,Sl,G,n]
+            return logits, gates, sel
+        return logits
 
     spec = P(batch_axis, axis)
+    logits_spec = P(batch_axis, axis, None)
+    if collect_aux:
+        aux_spec = P(None, batch_axis, axis, None, None)
+        logits, gates, sel = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(P(), spec),
+            out_specs=(logits_spec, aux_spec, aux_spec),
+            check_rep=False,
+        )(params, tokens)
+        return logits, (gates, sel)
     return shard_map(
         local_fn, mesh=mesh,
         in_specs=(P(), spec),
-        out_specs=P(batch_axis, axis, None),
+        out_specs=logits_spec,
         check_rep=False,
     )(params, tokens)

@@ -55,7 +55,9 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     tokens: [accum, B, S+1] int32 (accum axis present even when 1).
     With tcfg.sp > 1 (and a mesh), every layer's attention runs
     sequence-sharded over the sp axis (context-parallel long-context
-    training); gate/selection stats are not collected on that path.
+    training); gate/selection stats are collected on both paths (the
+    watchdog's gate-collapse detection must stay live on exactly the
+    long-context runs where collapse is most likely).
     """
     optimizer = make_optimizer(tcfg)
     use_cp = mesh is not None and tcfg.sp > 1
@@ -64,25 +66,27 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
         if use_cp:
             from nsa_vibe_tpu.parallel.context import context_parallel_model_forward
 
-            logits = context_parallel_model_forward(
+            logits, (gates, sel) = context_parallel_model_forward(
                 params, tok_row[:, :-1], mcfg, mesh,
                 batch_axis="dp" if mesh.shape["dp"] > 1 else None,
+                collect_aux=True,
             )
-            return cross_entropy_loss(logits, tok_row[:, 1:]), None
-        logits, auxes = model_forward(params, tok_row[:, :-1], mcfg, collect_aux=True)
+        else:
+            logits, auxes = model_forward(params, tok_row[:, :-1], mcfg, collect_aux=True)
+            gates = jnp.stack([a["gates"] for a in auxes])   # [L,B,S,G,3]
+            sel = jnp.stack([a["sel_idx"] for a in auxes])   # [L,B,S,G,n]
         loss = cross_entropy_loss(logits, tok_row[:, 1:])
-        gates = jnp.stack([a["gates"] for a in auxes]).astype(jnp.float32)  # [L,B,S,G,3]
-        sel = jnp.stack([a["sel_idx"] for a in auxes])                      # [L,B,S,G,n]
-        return loss, (gates, sel)
+        return loss, (gates.astype(jnp.float32), sel)
 
     def micro(carry, tok_row):
-        params, grad_acc, loss_acc, gate_acc = carry
+        params, grad_acc, loss_acc, gate_acc, kmax_acc = carry
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, tok_row
         )
         grad_acc = jax.tree_util.tree_map(jnp.add, grad_acc, grads)
         if aux is None:
-            stats = jnp.zeros((8,), jnp.float32)
+            stats = jnp.zeros((7,), jnp.float32)
+            kmax = jnp.zeros((), jnp.float32)
         else:
             gates, sel = aux
             g = gates.reshape(-1, 3)
@@ -95,16 +99,21 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
                 entropy.mean(), max_gate.mean(),
                 ((entropy < 0.1) & (max_gate > 0.95)).astype(jnp.float32).mean(),
                 *g.mean(axis=0),
-                k_per_row.mean(), k_per_row.max(),
+                k_per_row.mean(),
             ])
-        return (params, grad_acc, loss_acc + loss, gate_acc + stats), None
+            kmax = k_per_row.max()
+        # mean stats sum (scaled by 1/accum after the scan); the max stat
+        # accumulates with maximum — summing per-micro maxes is not a max
+        return (params, grad_acc, loss_acc + loss, gate_acc + stats,
+                jnp.maximum(kmax_acc, kmax)), None
 
     def train_step(state: TrainState, tokens: jnp.ndarray):
         accum = tokens.shape[0]
         zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        (_, grads, loss_sum, gate_sum), _ = jax.lax.scan(
+        (_, grads, loss_sum, gate_sum, kmax), _ = jax.lax.scan(
             micro,
-            (state.params, zeros, jnp.zeros((), jnp.float32), jnp.zeros((8,), jnp.float32)),
+            (state.params, zeros, jnp.zeros((), jnp.float32),
+             jnp.zeros((7,), jnp.float32), jnp.zeros((), jnp.float32)),
             tokens,
         )
         inv = 1.0 / float(accum)
@@ -134,7 +143,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
             "gate_collapse_frac": gate_stats[2],
             "branch_shares": gate_stats[3:6],
             "sel_k_mean": gate_stats[6],
-            "sel_k_max": gate_stats[7],
+            "sel_k_max": kmax,
             "tokens": jnp.asarray(tokens.shape[0] * tokens.shape[1] * (tokens.shape[2] - 1), jnp.int32),
         }
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics

@@ -154,7 +154,12 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
             }, f, indent=2, default=str)
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(tp=tcfg.tp, sp=tcfg.sp) if n_dev > 1 else None
+    # dp=0 means "infer from devices"; an explicit dp that mismatches the
+    # device count raises in make_mesh rather than silently "working"
+    mesh = (make_mesh(dp=tcfg.dp or None, tp=tcfg.tp, sp=tcfg.sp)
+            if n_dev > 1 else None)
+    if n_dev == 1 and tcfg.dp > 1:
+        raise ValueError(f"dp={tcfg.dp} requested but only 1 device visible")
 
     key = jax.random.PRNGKey(tcfg.seed)
     dtype = jnp.dtype(mcfg.dtype)

@@ -41,7 +41,7 @@ def check_one(path: str, hbm_gb: float) -> tuple[list[str], list[str]]:
         warnings.append(
             f"selection covers {nsa.n_sel * nsa.l_sel} >= seq_len {tcfg.seq_len}: "
             "NSA degenerates to full attention (fine for tests, wrong for prod)")
-    n_chips = tcfg.dp * tcfg.tp * tcfg.sp
+    n_chips = max(tcfg.dp, 1) * tcfg.tp * tcfg.sp  # dp=0 = inferred at runtime
     if tcfg.sp > 1 and tcfg.seq_len % tcfg.sp != 0:
         errors.append(f"seq_len {tcfg.seq_len} % sp {tcfg.sp} != 0")
     if tcfg.batch_size % max(tcfg.dp, 1) != 0:

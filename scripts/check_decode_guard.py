@@ -35,28 +35,37 @@ def main() -> None:
     with open(args.result) as f:
         lines = [ln for ln in f if ln.strip().startswith("{")]
     result = json.loads(lines[-1])
+    # bench.py emits the S sweep alongside the headline metric; guard every
+    # entry (reference guard covers the full S range,
+    # /root/reference/bench/bench_decode.py:60-266)
+    values = dict(result.get("sweep") or {})
+    values.setdefault(result["metric"], result["value"])
 
     if args.snapshot or not os.path.exists(args.baseline):
         os.makedirs(os.path.dirname(args.baseline) or ".", exist_ok=True)
         with open(args.baseline, "w") as f:
-            json.dump({result["metric"]: result["value"]}, f, indent=2)
-        print(f"snapshotted baseline {result['metric']}={result['value']}")
+            json.dump(values, f, indent=2)
+        print(f"snapshotted baseline {json.dumps(values)}")
         return
 
     with open(args.baseline) as f:
         baseline = json.load(f)
-    base = baseline.get(result["metric"])
-    if base is None or base <= 0:
-        print(f"no baseline value for {result['metric']} — skipping (placeholder)")
-        return
-    ratio = result["value"] / base
-    status = "ok" if ratio <= 1 + args.tol else "REGRESSION"
-    print(json.dumps({
-        "metric": result["metric"], "value": result["value"],
-        "baseline": base, "ratio": round(ratio, 4),
-        "tol": args.tol, "status": status,
-    }))
-    if status != "ok":
+    failed = []
+    for metric, value in sorted(values.items()):
+        base = baseline.get(metric)
+        if base is None or base <= 0:
+            print(f"no baseline value for {metric} — skipping (placeholder)")
+            continue
+        ratio = value / base
+        status = "ok" if ratio <= 1 + args.tol else "REGRESSION"
+        print(json.dumps({
+            "metric": metric, "value": value,
+            "baseline": base, "ratio": round(ratio, 4),
+            "tol": args.tol, "status": status,
+        }))
+        if status != "ok":
+            failed.append(metric)
+    if failed:
         sys.exit(1)
 
 

@@ -136,3 +136,25 @@ def test_make_tokenizer_specs():
 
     with pytest.raises(ValueError):
         make_tokenizer("bogus")
+
+
+def test_multi_process_batches_disjoint_and_cover(tmp_path):
+    """Simulated n_proc=2 run (VERDICT r1 #7): each rank's make_batches
+    stream draws from a disjoint doc subset and together they cover every
+    doc — the per-rank sharding the trainer applies via Shard(n_proc, rank)."""
+    import json as _json
+
+    p = tmp_path / "docs.jsonl"
+    # doc i is 40 copies of byte (i + 1): doc identity readable from tokens
+    with open(p, "w") as f:
+        for i in range(8):
+            f.write(_json.dumps({"text": chr(i + 1) * 40}) + "\n")
+    seen = []
+    for rank in (0, 1):
+        vals = set()
+        for b in make_batches(str(p), seq_len=16, batch_size=1,
+                              shard=Shard(2, rank)):
+            vals.update(int(v) for v in np.unique(b) if v != 0)
+        seen.append(vals)
+    assert seen[0] & seen[1] == set(), seen
+    assert seen[0] | seen[1] == {i + 1 for i in range(8)}, seen

@@ -136,3 +136,16 @@ def test_decode_window_ring_wraps():
     np.testing.assert_allclose(
         np.asarray(dec_out), np.asarray(pre_out), atol=2e-5, rtol=1e-4
     )
+
+
+def test_decode_overflow_flag(setup):
+    """Stepping past cache capacity must be detectable in-graph
+    (info.overflow); within capacity the flag stays False."""
+    params, x = setup
+    capacity = 16
+    cache = init_cache(CFG, 2, capacity)
+    step = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, CFG))
+    for tt in range(capacity + 2):
+        xt = x[:, tt % x.shape[1]][:, None]
+        _, cache, info = step(params, xt, cache)
+        assert bool(info.overflow) == (tt >= capacity), tt

@@ -157,3 +157,56 @@ def test_prefill_kernel_config_parity():
     out_ref, _ = nsa_prefill(params, x, cfg_ref)
     out_pl, _ = nsa_prefill(params, x, cfg_pl)
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("n_heads,groups", [(3, 1), (6, 2), (12, 4)])
+def test_odd_heads_prefill_parity(n_heads, groups):
+    """kernel='pallas' must work for ANY heads-per-group, odd h=3
+    included (VERDICT r1 #2; reference sel_fwd.py:453-456 takes any
+    H<=16). Dispatch pads Q with a zero head and slices the output."""
+    from nsa_vibe_tpu.core.config import NSAConfig
+    from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+
+    cfg = NSAConfig(dim=64, n_heads=n_heads, n_kv_groups=groups,
+                    d_k=32, d_v=32, l=8, d=4, l_sel=16, n_sel=4, w=16,
+                    kernel="pallas")
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg)
+    x = _rand(2, 64, cfg.dim)
+    got, aux_p = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x)
+    want, aux_r = jax.jit(
+        lambda p, x: nsa_prefill(p, x, cfg.replace(kernel="reference"))
+    )(params, x)
+    # selection must agree as a set per row (scorer emits forced-first
+    # order with possible duplicates; -1 = padding)
+    def _sets(sel):
+        flat = np.asarray(sel).reshape(-1, sel.shape[-1])
+        return [set(int(v) for v in row if v >= 0) for row in flat]
+
+    mismatch = sum(a != b for a, b in zip(_sets(aux_p["sel_idx"]),
+                                          _sets(aux_r["sel_idx"])))
+    assert mismatch == 0, f"{mismatch} selection-set mismatches"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_odd_heads_gradients_match():
+    """The zero pad head must contribute exactly zero to dK/dV."""
+    from nsa_vibe_tpu.core.config import NSAConfig
+    from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+
+    cfg = NSAConfig(dim=64, n_heads=3, n_kv_groups=1, d_k=32, d_v=32,
+                    l=8, d=4, l_sel=16, n_sel=4, w=16, kernel="pallas")
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg)
+    x = _rand(1, 64, cfg.dim)
+
+    def loss(p, x, kernel):
+        out, _ = nsa_prefill(p, x, cfg.replace(kernel=kernel))
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_p = jax.jit(jax.grad(loss), static_argnums=2)(params, x, "pallas")
+    g_r = jax.jit(jax.grad(loss), static_argnums=2)(params, x, "reference")
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_p),
+                            jax.tree_util.tree_leaves(g_r)):
+        mae = float(jnp.abs(a - b).mean())
+        scale = float(jnp.abs(b).mean()) + 1e-8
+        assert mae / scale < 2e-4, f"{path}: rel grad MAE {mae / scale}"
