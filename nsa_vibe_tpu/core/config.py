@@ -115,6 +115,9 @@ class TrainConfig:
     sp: int = 1                # sequence-parallel axis size (context-parallel attention)
     fsdp: bool = False         # fully shard params/optimizer over dp (ZeRO-3)
     fsdp_min_size: int = 512   # axes shorter than this stay replicated
+    # varlen/document-masked packed batching (ops.varlen): batches carry
+    # (tokens, seq_start, loss_mask); no attention crosses doc boundaries
+    varlen: bool = False
 
 
 def mesh_axes() -> tuple[str, ...]:

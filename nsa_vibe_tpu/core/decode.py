@@ -63,13 +63,32 @@ def _masked_single_query_attention(Q, K, V, valid, scale):
     return out.astype(Q.dtype)
 
 
-def _gathered_selection_attention(Q, k_sel, v_sel, blocks, t, l_sel, scale):
-    """Gather the selected blocks' tokens and attend (full softmax over the
-    gathered set, positions clamped to <= t). blocks: [B,G,n]."""
+def _gathered_selection_attention(Q, k_sel, v_sel, blocks, t, l_sel, scale,
+                                  use_kernel: bool = False):
+    """Selection branch for one decoded token. blocks: [B,G,n].
+
+    Two implementations with identical semantics (full softmax over the
+    gathered set, positions clamped to <= t):
+      * XLA gather + masked SDPA (CPU / reference path);
+      * the per-query Pallas gather kernel (ops.pallas.selection), which
+        DMAs exactly the selected blocks — measured 15.0 us vs 27.3 us
+        for the XLA gather at S=4096 decode shapes on v5e (r2 slope
+        bench), so it is the TPU decode hot path (reference decode
+        routing: nsa/core/nsa_attention.py:709-830 -> CUDA gather,
+        cuda_sel_kernel/sel_cuda.cpp:28-73).
+    Returns (out [B,G,h,Dv], valid [B,G,n,l_sel])."""
     B, G, C, Dk = k_sel.shape
     n = blocks.shape[-1]
     tok = blocks[..., None] * l_sel + jnp.arange(l_sel, dtype=jnp.int32)  # [B,G,n,l_sel]
     valid = (blocks[..., None] >= 0) & (tok <= t) & (tok < C)
+    if use_kernel:
+        from nsa_vibe_tpu.ops.pallas.selection import selection_attention_pallas
+
+        out = selection_attention_pallas(
+            Q[:, None], k_sel, v_sel, blocks[:, None], t[None].astype(jnp.int32),
+            l_sel=l_sel, scale=scale,
+        )[:, 0]
+        return out, valid
     flat = tok.reshape(B, G, n * l_sel)
     safe = jnp.clip(flat, 0, C - 1)
     K = jnp.take_along_axis(k_sel, safe[..., None], axis=2)  # [B,G,n*l_sel,Dk]
@@ -141,8 +160,12 @@ def nsa_decode_step(
     )                                                                  # [B,1,G,n]
 
     # --- three branches (single query) ---
+    from nsa_vibe_tpu.ops.attention import resolve_kernel
+
+    impl, interpret = resolve_kernel(cfg.kernel)
     O_sel, sel_valid = _gathered_selection_attention(
-        Q[:, 0], k_sel, v_sel, sel_idx[:, 0], t, cfg.l_sel, scale
+        Q[:, 0], k_sel, v_sel, sel_idx[:, 0], t, cfg.l_sel, scale,
+        use_kernel=(impl == "pallas" and not interpret),
     )
     win_valid = (jnp.arange(cfg.w, dtype=jnp.int32) <= t) | (t >= cfg.w)
     O_win = _masked_single_query_attention(Q[:, 0], k_win, v_win, win_valid, scale)

@@ -98,12 +98,20 @@ def nsa_prefill(
     cfg: NSAConfig,
     meta: Optional[BlockMeta] = None,
     pos_offset: int = 0,
+    seq_start: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, dict]:
     """Batched prefill forward (the training hot path; reference
     _forward_prefill_batched, nsa_attention.py:978-1448).
 
     x: [B, S, dim]. Returns (out [B, S, dim], aux) where aux carries the
     raw/compressed K/V (for cache seeding), selection indices and gates.
+
+    seq_start [B, S] int32 (optional): per-token document starts for
+    varlen/document-masked packed batching (ops.varlen; reference
+    cu_seqlens surface, nsa/core/collate.py:6-44). Positions restart per
+    document (RoPE at t - seq_start) and no attention crosses a document
+    boundary. Document starts must be l_sel-aligned
+    (varlen.pack_documents_aligned). Requires pos_offset == 0.
     """
     B, S, _ = x.shape
     if meta is None:
@@ -111,6 +119,17 @@ def nsa_prefill(
     G, h = cfg.n_kv_groups, cfg.h_per_group
     scale = 1.0 / float(np.sqrt(cfg.d_k))
     t_pos = jnp.arange(pos_offset, pos_offset + S, dtype=jnp.int32)
+    varlen = seq_start is not None
+    if varlen:
+        if pos_offset != 0:
+            raise ValueError("varlen prefill requires pos_offset == 0")
+        seq_start = seq_start.astype(jnp.int32)
+        t_local = t_pos[None, :] - seq_start                 # [B,S] doc-local
+        rope_q_pos = t_local[:, :, None]                     # -> [B,S,H]
+        rope_k_pos = t_local[:, None, :]                     # -> [B,G,S]
+    else:
+        rope_q_pos = t_pos[:, None]
+        rope_k_pos = t_pos
 
     # profiling stage names mirror the reference's NVTX ranges
     # (nsa_attention.py:990-1121): proj+rope, phi, pcmp/map/topk, branches
@@ -120,15 +139,15 @@ def nsa_prefill(
         # ropes the *flattened* [S, H*Dk] query (nsa_attention.py:552), giving
         # each head a different frequency band than its K — we deliberately use
         # the correct per-head rotation instead.
-        Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
+        Q = apply_rope(Q, rope_q_pos, cfg.rope_base, cfg.rope_scale)
         Q = Q.reshape(B, S, G, h, cfg.d_k)
-        K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
-        K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
+        K_sel = apply_rope(K_sel, rope_k_pos, cfg.rope_base, cfg.rope_scale)
+        K_win = apply_rope(K_win, rope_k_pos, cfg.rope_base, cfg.rope_scale)
 
-    # ϕ-compressed stream (RoPE inside, at absolute positions)
+    # ϕ-compressed stream (RoPE inside, at doc-local absolute positions)
     with jax.named_scope("nsa.phi"):
         K_cmp, V_cmp = pool_phi_rope_kv(
-            K_cmp_raw, V_cmp_raw, cfg.l, cfg.d, pos=t_pos,
+            K_cmp_raw, V_cmp_raw, cfg.l, cfg.d, pos=rope_k_pos,
             k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
             rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
         )
@@ -152,11 +171,25 @@ def nsa_prefill(
 
     # S_cmp == 0 (S < l): no compressed tokens — the fused kernel has no
     # K tiles to stream; fall through to the jnp path (whose scorer and
-    # cmp branch both short-circuit to forced-blocks / zeros)
-    use_fused = impl == "pallas" and S_cmp > 0 and scorer_fits_vmem(h, meta.S_sel)
+    # cmp branch both short-circuit to forced-blocks / zeros).
+    # Varlen: the fused scorer kernel has no doc-visibility support yet —
+    # score via the jnp varlen pipeline (branch kernels stay Pallas).
+    use_fused = (impl == "pallas" and S_cmp > 0 and not varlen
+                 and scorer_fits_vmem(h, meta.S_sel))
     O_cmp = None
     with jax.named_scope("nsa.score_select"):
-        if use_fused:
+        if varlen:
+            from nsa_vibe_tpu.ops.varlen import (
+                select_topn_blocks_varlen,
+                selection_scores_varlen,
+            )
+
+            p_grp = selection_scores_varlen(
+                Q, K_cmp, M, scale, t_pos, seq_start, cfg.l, cfg.d)
+            sel_idx = select_topn_blocks_varlen(
+                p_grp, cfg.n_sel, t_pos, seq_start, cfg.l_sel,
+                cfg.force_init, cfg.force_local)
+        elif use_fused:
             # one fused pass: selection scores AND the cmp branch output
             # share softmax(Q K_cmp^T) under the same prefix visibility
             sel_idx, O_cmp = attn_ops.fused_select_cmp(
@@ -191,17 +224,17 @@ def nsa_prefill(
         with jax.named_scope("nsa.branch_cmp"):
             O_cmp = attn_ops.compressed_attention(
                 Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
-                t_start=pos_offset,
+                t_start=pos_offset, seq_start=seq_start, t_pos=t_pos,
             )
     with jax.named_scope("nsa.branch_sel"):
         O_sel = attn_ops.selection_attention(
             Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,
-            pos_offset=pos_offset,
+            pos_offset=pos_offset, seq_start=seq_start,
         )
     with jax.named_scope("nsa.branch_win"):
         O_win = attn_ops.sliding_window_attention(
             Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel,
-            t_start=pos_offset,
+            t_start=pos_offset, seq_start=seq_start,
         )
 
     with jax.named_scope("nsa.gate_out"):

@@ -53,11 +53,14 @@ def init_block_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> d
 
 
 def block_prefill(
-    params: dict, x: jnp.ndarray, mcfg: ModelConfig
+    params: dict, x: jnp.ndarray, mcfg: ModelConfig, seq_start=None
 ) -> Tuple[jnp.ndarray, dict]:
-    """Pre-norm residual block, batched prefill. Returns (y, attn aux)."""
+    """Pre-norm residual block, batched prefill. Returns (y, attn aux).
+    seq_start [B,S]: per-row document starts (varlen batching)."""
     cfg: NSAConfig = mcfg.nsa
-    attn_out, aux = nsa_prefill(params["attn"], rmsnorm(x, params["attn_norm"], mcfg.rmsnorm_eps), cfg)
+    attn_out, aux = nsa_prefill(
+        params["attn"], rmsnorm(x, params["attn_norm"], mcfg.rmsnorm_eps), cfg,
+        seq_start=seq_start)
     x = x + attn_out
     mlp_fn = jax.checkpoint(mlp) if mcfg.remat == "mlp" else mlp
     x = x + mlp_fn(params["mlp"], rmsnorm(x, params["mlp_norm"], mcfg.rmsnorm_eps))

@@ -43,15 +43,18 @@ def init_model_params(key: jax.Array, mcfg: ModelConfig, dtype=jnp.float32) -> d
 
 
 def model_forward(
-    params: dict, tokens: jnp.ndarray, mcfg: ModelConfig, collect_aux: bool = False
+    params: dict, tokens: jnp.ndarray, mcfg: ModelConfig, collect_aux: bool = False,
+    seq_start: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, list]:
     """tokens: [B, S] int32 -> logits [B, S, vocab]. Optionally returns
-    per-layer attention aux (gates/selection for observability)."""
+    per-layer attention aux (gates/selection for observability).
+    seq_start [B,S]: per-row document starts (varlen/doc-masked packing —
+    no attention crosses a document boundary; see ops.varlen)."""
     x = params["embed"][tokens].astype(jnp.dtype(mcfg.dtype))
     auxes = []
 
     def run_block(bp, x):
-        return block_prefill(bp, x, mcfg)
+        return block_prefill(bp, x, mcfg, seq_start=seq_start)
 
     if mcfg.remat in (True, "full"):        # "mlp" remats inside the block
         run_block = jax.checkpoint(run_block)

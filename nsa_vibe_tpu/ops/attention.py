@@ -55,11 +55,13 @@ def fused_select_cmp(
                force_init=force_init, force_local=force_local,
                interpret=interpret,
                h_real=h if Q.shape[3] != h else None)
-    # backward gets its own (smaller) tile budget, same keys as _flash_vjp —
-    # forward tiles here could VMEM-OOM the backward's extra live buffers
+    # backward gets its own tile budget. NOT the cmp.bwd_* keys: those are
+    # tuned for the standalone cmp backward; inside the fused train graph
+    # bwd_block_q=256 measured 19.3k vs 48.1k toks/s at 128 (r2 bisect) —
+    # a dedicated key keeps the two paths independently tunable
     kwb = dict(mode="cmp", l=l, d=d, scale=scale, interpret=interpret,
-               block_k=tuned("cmp.bwd_block_k", tuned("cmp.block_k")),
-               block_q=tuned("cmp.bwd_block_q", 128))
+               block_k=tuned("cmp.fused_bwd_block_k", tuned("cmp.block_k")),
+               block_q=tuned("cmp.fused_bwd_block_q", 128))
 
     @jax.custom_vjp
     def f(t0, Q, K, V, M):
@@ -102,15 +104,17 @@ def _int_cotangent(x):
     return _np.zeros(x.shape, jax.dtypes.float0)
 
 
-def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool):
+def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
+               varlen: bool = False):
     """custom_vjp with analytical Pallas forward AND backward (the
     reference-recompute backward materializes O(S^2) logits — 29 GB at
     the m7c training shape).
 
-    The traced int operands (t0) are explicit custom_vjp ARGUMENTS with
-    float0 cotangents — closing over traced values in a custom_vjp leaks
-    tracers when the surrounding function is rematerialized
-    (jax.checkpoint recomputes the forward during the backward trace)."""
+    The traced int operands (t0, and ds under varlen) are explicit
+    custom_vjp ARGUMENTS with float0 cotangents — closing over traced
+    values in a custom_vjp leaks tracers when the surrounding function is
+    rematerialized (jax.checkpoint recomputes the forward during the
+    backward trace)."""
 
     kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret)
     kw["block_k"] = tuned(f"{mode}.block_k")
@@ -120,6 +124,25 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool)
     # lse/delta are flat [B*G,1,stats_rows] arrays — tiling can differ from fwd
     kwb = dict(kw, block_k=tuned(f"{mode}.bwd_block_k", kw["block_k"]),
                block_q=tuned(f"{mode}.bwd_block_q", 128))
+
+    if varlen:
+        @jax.custom_vjp
+        def fv(t0, ds, Q, K, V):
+            return flash_banded(Q, K, V, t_start=t0, seq_start=ds, **kw)
+
+        def fwdv(t0, ds, Q, K, V):
+            O, lse = flash_banded(Q, K, V, t_start=t0, seq_start=ds,
+                                  return_lse=True, **kw)
+            return O, (t0, ds, Q, K, V, O, lse)
+
+        def bwdv(res, g):
+            t0, ds, Q, K, V, O, lse = res
+            dq, dk, dv = flash_banded_bwd(Q, K, V, g, lse, _delta(g, O),
+                                          t_start=t0, seq_start=ds, **kwb)
+            return (_int_cotangent(t0), _int_cotangent(ds), dq, dk, dv)
+
+        fv.defvjp(fwdv, bwdv)
+        return fv
 
     @jax.custom_vjp
     def f(t0, Q, K, V):
@@ -218,37 +241,59 @@ def _with_ref_vjp(pallas_fn: Callable, ref_fn: Callable):
 def sliding_window_attention(
     Q: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
     t_pos: jnp.ndarray, w: int, scale: float, kernel: str = "auto",
-    t_start=None,
+    t_start=None, seq_start=None,
 ) -> jnp.ndarray:
     """t_start: global position of query row 0 (int or traced scalar) —
     required by the Pallas path when t_pos does not start at 0 (sequence
-    sharding / chunked prefill). The reference path reads t_pos directly."""
+    sharding / chunked prefill). The reference path reads t_pos directly.
+    seq_start [B,S]: per-row document starts (varlen batching, ops.varlen)."""
     impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if impl == "reference":
+        if seq_start is not None:
+            from nsa_vibe_tpu.ops.varlen import sliding_window_attention_varlen
+
+            return sliding_window_attention_varlen(Q, K, V, t_pos, seq_start,
+                                                   w, scale)
         return ref.sliding_window_attention(Q, K, V, t_pos, w, scale)
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
     Qp, h = _pad_odd_heads(Q)
-    out = _flash_vjp("win", w, 0, 1, scale, interpret)(_as_t0(t_start), Qp, K, V)
+    if seq_start is not None:
+        out = _flash_vjp("win", w, 0, 1, scale, interpret, varlen=True)(
+            _as_t0(t_start), seq_start.astype(jnp.int32), Qp, K, V)
+    else:
+        out = _flash_vjp("win", w, 0, 1, scale, interpret)(_as_t0(t_start), Qp, K, V)
     return out[:, :, :, :h] if Qp.shape[3] != h else out
 
 
 def compressed_attention(
     Q: jnp.ndarray, K_cmp: jnp.ndarray, V_cmp: jnp.ndarray,
     num_cmp_t: jnp.ndarray, l: int, d: int, scale: float, kernel: str = "auto",
-    t_start=None,
+    t_start=None, seq_start=None, t_pos=None,
 ) -> jnp.ndarray:
+    """seq_start [B,S] + t_pos [S] enable varlen (document-masked) mode:
+    pooled windows are visible iff fully inside the query's document."""
     impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if K_cmp.shape[2] == 0:
         # no compressed tokens yet (S < l): the branch contributes zeros
         B, S, G, h, _ = Q.shape
         return jnp.zeros((B, S, G, h, V_cmp.shape[3]), Q.dtype)
     if impl == "reference":
+        if seq_start is not None:
+            from nsa_vibe_tpu.ops.varlen import compressed_attention_varlen
+
+            return compressed_attention_varlen(Q, K_cmp, V_cmp, t_pos,
+                                               seq_start, l, d, scale)
         return ref.compressed_attention(Q, K_cmp, V_cmp, num_cmp_t, scale)
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
     Qp, h = _pad_odd_heads(Q)
-    out = _flash_vjp("cmp", 0, l, d, scale, interpret)(_as_t0(t_start), Qp, K_cmp, V_cmp)
+    if seq_start is not None:
+        out = _flash_vjp("cmp", 0, l, d, scale, interpret, varlen=True)(
+            _as_t0(t_start), seq_start.astype(jnp.int32), Qp, K_cmp, V_cmp)
+    else:
+        out = _flash_vjp("cmp", 0, l, d, scale, interpret)(
+            _as_t0(t_start), Qp, K_cmp, V_cmp)
     return out[:, :, :, :h] if Qp.shape[3] != h else out
 
 
@@ -257,12 +302,24 @@ def selection_attention(
     sel_idx: jnp.ndarray, t_pos: jnp.ndarray, l_sel: int, scale: float,
     kernel: str = "auto",
     pos_offset: int = 0,
+    seq_start=None,
 ) -> jnp.ndarray:
     """Prefill uses the masked block-flash kernel (each block in a q-tile's
     union fetched once); single-query decode uses the per-query gather
-    kernel (reads exactly n*l_sel keys)."""
+    kernel (reads exactly n*l_sel keys).
+
+    Varlen (seq_start given): the Pallas kernels need NO doc bound — a
+    varlen sel_idx (select_topn_blocks_varlen) only contains doc-local
+    l_sel-aligned blocks, and in-block causality (kpos <= t) masks the
+    padding tail of each document, so no cross-document key is reachable.
+    The reference path applies the explicit doc-masked oracle."""
     impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if impl == "reference":
+        if seq_start is not None:
+            from nsa_vibe_tpu.ops.varlen import selection_attention_varlen
+
+            return selection_attention_varlen(Q, K, V, sel_idx, t_pos,
+                                              seq_start, l_sel, scale)
         return ref.selection_attention(Q, K, V, sel_idx, t_pos, l_sel, scale)
     if Q.shape[1] == 1:
         # decode: per-query gather kernel (reads exactly n*l_sel keys);

@@ -45,30 +45,48 @@ def stats_rows(S: int, h: int) -> int:
 
 
 def _bounds_fn(mode: str, w: int, l: int, d: int):
-    """Returns row_bounds(t) -> (lo, hi) as traced int32 arithmetic."""
+    """Returns row_bounds(t, ds=None) -> (lo, hi) as traced int32
+    arithmetic. `ds` = document start of row t (varlen/document-masked
+    batching, ops.varlen): the window is clipped to [ds, t] and the cmp
+    prefix starts at the document's own pooled windows (window j covers
+    raw [j*d, j*d+l) and is visible iff j*d >= ds and j*d+l <= t+1)."""
     if mode == "win":
-        def bounds(t):
-            return jnp.maximum(t - w + 1, 0), t + 1
+        def bounds(t, ds=None):
+            lo = jnp.maximum(t - w + 1, 0)
+            if ds is not None:
+                lo = jnp.maximum(lo, ds)
+            return lo, t + 1
     elif mode == "cmp":
-        def bounds(t):
-            s = t + 1
-            hi = jnp.where(s >= l, (s - l) // d + 1, 0)
-            return jnp.zeros_like(t), hi
+        def bounds(t, ds=None):
+            if ds is None:
+                s = t + 1
+                hi = jnp.where(s >= l, (s - l) // d + 1, 0)
+                return jnp.zeros_like(t), hi
+            j0 = ds // d
+            s_loc = t + 1 - ds
+            hi = jnp.where(s_loc >= l, j0 + (s_loc - l) // d + 1, j0)
+            return j0, hi
     else:
         raise ValueError(mode)
     return bounds
 
 
 def _flash_kernel(
-    t0_ref, q_ref, k_ref, v_ref, o_ref, *rest,
+    t0_ref, *refs,
     mode: str, w: int, l: int, d: int, scale: float,
     block_q: int, block_k: int, h: int, nk_grid: int, s_kv: int,
-    return_lse: bool = False,
+    return_lse: bool = False, varlen: bool = False,
 ):
+    if varlen:
+        ds_tile_ref, q_ref, k_ref, v_ref, dsrow_ref, o_ref, *rest = refs
+    else:
+        ds_tile_ref = dsrow_ref = None
+        q_ref, k_ref, v_ref, o_ref, *rest = refs
     if return_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
         m_scr, l_scr, acc_scr = rest
+    b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -84,8 +102,12 @@ def _flash_kernel(
     # chunked prefill).
     t_first = t0_ref[0] + qi * block_q
     t_last = t_first + block_q - 1
-    lo_first, _ = bounds(t_first)
-    _, hi_last = bounds(t_last)
+    # varlen: lo at the tile's FIRST row / hi at its LAST row bound the
+    # whole tile (seq_start is non-decreasing along the row axis)
+    ds_first = ds_tile_ref[b, 0, qi] if varlen else None
+    ds_last = ds_tile_ref[b, 1, qi] if varlen else None
+    lo_first, _ = bounds(t_first, ds_first)
+    _, hi_last = bounds(t_last, ds_last)
     kt_lo = lo_first // block_k
     n_live = pl.cdiv(jnp.maximum(hi_last - kt_lo * block_k, 0), block_k)
 
@@ -109,7 +131,11 @@ def _flash_kernel(
         # instead of materializing a [Tq*h, Tk] bool mask + two wheres
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         tpos = t_first + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        lo_r, hi_r = bounds(tpos)                         # [Tq,1]
+        ds_r = None
+        if varlen:
+            lane = dsrow_ref[0, 0, :].reshape(1, block_q)
+            ds_r = jax.lax.transpose(lane, (1, 0))        # [Tq,1]
+        lo_r, hi_r = bounds(tpos, ds_r)                   # [Tq,1]
         maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
         bias = (maskf - 1.0) * 1e30                       # 0 in-band, -1e30 out
         logits = (logits.reshape(block_q, h, block_k) + bias[:, None, :]
@@ -182,6 +208,7 @@ def flash_banded(
     interpret: bool = False,
     return_lse: bool = False,
     t_start=None,             # traced int32 scalar: global position of row 0
+    seq_start=None,           # [B, S] int32: per-row document starts (varlen)
 ):
     """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
     flat row stats [B*G, 1, stats_rows(S, h)] f32 when return_lse
@@ -194,12 +221,19 @@ def flash_banded(
     `t_start` makes query positions t = t_start + row: the mechanism for
     sequence-sharded (shard_map) and chunked prefill. It reaches tile
     selection via scalar prefetch, so KV tiles outside the shifted band
-    are still skipped."""
+    are still skipped.
+
+    `seq_start` [B, S] int32 (optional) = per-row document start for
+    varlen/document-masked batching (ops.varlen): rows attend only within
+    their own document. Reaches the kernel two ways — a scalar-prefetched
+    per-tile (first, last) pair for tile selection and a lane-flat
+    [B, 1, S] row array for the in-kernel mask."""
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(S_kv, 8))
     t0 = _as_t0(t_start)
+    varlen = seq_start is not None
 
     nq = pl.cdiv(S, block_q)
     if mode == "win":
@@ -209,11 +243,13 @@ def flash_banded(
 
     bounds = _bounds_fn(mode, w, l, d)
 
-    def k_index(b, g, qi, ki, t0_ref):
+    def k_index(b, g, qi, ki, t0_ref, *more):
         t_first = t0_ref[0] + qi * block_q
         t_last = t_first + block_q - 1
-        lo_first, _ = bounds(t_first)
-        _, hi_last = bounds(t_last)
+        ds_f = more[0][b, 0, qi] if varlen else None
+        ds_l = more[0][b, 1, qi] if varlen else None
+        lo_first, _ = bounds(t_first, ds_f)
+        _, hi_last = bounds(t_last, ds_l)
         kt_lo = lo_first // block_k
         n_live = pl.cdiv(jnp.maximum(hi_last - kt_lo * block_k, 0), block_k)
         kt = kt_lo + jnp.minimum(ki, jnp.maximum(n_live - 1, 0))
@@ -224,7 +260,7 @@ def flash_banded(
         _flash_kernel,
         mode=mode, w=w, l=l, d=d, scale=scale,
         block_q=block_q, block_k=block_k, h=h, nk_grid=nk, s_kv=S_kv,
-        return_lse=return_lse,
+        return_lse=return_lse, varlen=varlen,
     )
     out_specs = pl.BlockSpec(
         (1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
@@ -244,15 +280,23 @@ def flash_banded(
         )]
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32)]
+    in_specs = [
+        pl.BlockSpec((1, block_q, 1, h, Dk), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
+    ]
+    operands = [t0]
+    if varlen:
+        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq)
+        operands.append(ds_tile)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, block_q), lambda b, g, qi, ki, *_: (b, 0, qi),
+            memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if varlen else 1,
         grid=(B, G, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, 1, h, Dk), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((h * block_q, 1), jnp.float32),
@@ -260,12 +304,24 @@ def flash_banded(
             pltpu.VMEM((h * block_q, Dv), jnp.float32),
         ],
     )
+    args = operands + [Q, K, V] + ([ds_row] if varlen else [])
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(t0, Q, K, V)
+    )(*args)
+
+
+def _varlen_operands(seq_start: jnp.ndarray, S: int, block_q: int, nq: int):
+    """seq_start [B,S] -> (ds_row [B,1,nq*block_q] lane-flat VMEM operand,
+    ds_tile [B,2,nq] scalar-prefetch operand with per-tile (first,last))."""
+    ds = seq_start.astype(jnp.int32)
+    Sp = nq * block_q
+    if Sp != S:
+        ds = jnp.pad(ds, ((0, 0), (0, Sp - S)), mode="edge")
+    ds_tile = jnp.stack([ds[:, ::block_q], ds[:, block_q - 1::block_q]], axis=1)
+    return ds[:, None, :], ds_tile
 
 
 def sliding_window_attention_pallas(

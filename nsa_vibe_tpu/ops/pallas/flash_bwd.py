@@ -50,9 +50,17 @@ def _row_block_layout(x):
 
 
 def _dq_kernel(
-    t0_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr,
-    *, mode, w, l, d, scale, block_q, block_k, h, nk_grid, s_kv,
+    t0_ref, *refs,
+    mode, w, l, d, scale, block_q, block_k, h, nk_grid, s_kv,
+    varlen=False,
 ):
+    if varlen:
+        (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dsrow_ref, dq_ref, acc_scr) = refs
+    else:
+        ds_tile_ref = dsrow_ref = None
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, acc_scr = refs
+    b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -63,8 +71,10 @@ def _dq_kernel(
 
     t_first = t0_ref[0] + qi * block_q
     t_last = t_first + block_q - 1
-    lo_first, _ = bounds(t_first)
-    _, hi_last = bounds(t_last)
+    ds_f = ds_tile_ref[b, 0, qi] if varlen else None
+    ds_l = ds_tile_ref[b, 1, qi] if varlen else None
+    lo_first, _ = bounds(t_first, ds_f)
+    _, hi_last = bounds(t_last, ds_l)
     kt_lo = lo_first // block_k
     n_live = pl.cdiv(jnp.maximum(hi_last - kt_lo * block_k, 0), block_k)
 
@@ -84,7 +94,11 @@ def _dq_kernel(
         # compact [Tq, Tk] additive bias broadcast over heads (one add)
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         tpos = t_first + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        lo_r, hi_r = bounds(tpos)
+        ds_r = None
+        if varlen:
+            lane = dsrow_ref[0, 0, :].reshape(1, block_q)
+            ds_r = jax.lax.transpose(lane, (1, 0))        # [Tq,1]
+        lo_r, hi_r = bounds(tpos, ds_r)
         maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
         logits = (logits.reshape(block_q, h, block_k)
                   + ((maskf - 1.0) * 1e30)[:, None, :]
@@ -136,10 +150,17 @@ def _inverse_q_bounds(mode, w, l, d, k0, block_k, block_q, s, t0):
 
 
 def _dkv_kernel(
-    t0_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr,
-    *, mode, w, l, d, scale, block_q, block_k, h, nq_grid, s, s_kv,
+    t0_ref, *refs,
+    mode, w, l, d, scale, block_q, block_k, h, nq_grid, s, s_kv,
+    varlen=False,
 ):
+    if varlen:
+        (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dsrow_ref, dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        ds_tile_ref = dsrow_ref = None
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
     ki = pl.program_id(2)
     qi_rel = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -171,7 +192,11 @@ def _dkv_kernel(
         ) * scale
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         tpos = t0 + srow
-        lo_r, hi_r = bounds(tpos)
+        ds_r = None
+        if varlen:
+            lane = dsrow_ref[0, 0, :].reshape(1, block_q)
+            ds_r = jax.lax.transpose(lane, (1, 0))        # [Tq,1]
+        lo_r, hi_r = bounds(tpos, ds_r)
         maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
         logits = (logits.reshape(block_q, h, block_k)
                   + ((maskf - 1.0) * 1e30)[:, None, :]
@@ -220,12 +245,13 @@ def _dkv_kernel(
 def flash_banded_bwd(
     Q, K, V, dO, lse, delta,
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=128, interpret=False,
-    t_start=None,
+    t_start=None, seq_start=None,
 ):
     """lse/delta: flat [B*G, 1, stats_rows(S, h)] float32 (row = t*h + head).
     Returns (dQ, dK, dV). `t_start`: traced global position of row 0
-    (sequence-sharded / chunked prefill)."""
-    from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+    (sequence-sharded / chunked prefill). `seq_start` [B,S]: per-row
+    document starts (varlen batching; see flash_banded)."""
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands
 
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
@@ -235,16 +261,21 @@ def flash_banded_bwd(
     nk_total = pl.cdiv(S_kv, block_k)
     bounds = _bounds_fn(mode, w, l, d)
     t0 = _as_t0(t_start)
+    varlen = seq_start is not None
+    if varlen:
+        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq)
 
     if mode == "win":
         nk = min(pl.cdiv(block_q - 1 + w, block_k) + 1, nk_total)
     else:
         nk = nk_total
 
-    def k_index(b, g, qi, ki, t0_ref):
+    def k_index(b, g, qi, ki, t0_ref, *more):
         t_first = t0_ref[0] + qi * block_q
-        lo_first, _ = bounds(t_first)
-        _, hi_last = bounds(t_first + block_q - 1)
+        ds_f = more[0][b, 0, qi] if varlen else None
+        ds_l = more[0][b, 1, qi] if varlen else None
+        lo_first, _ = bounds(t_first, ds_f)
+        _, hi_last = bounds(t_first + block_q - 1, ds_l)
         kt_lo = lo_first // block_k
         n_live = pl.cdiv(jnp.maximum(hi_last - kt_lo * block_k, 0), block_k)
         kt = kt_lo + jnp.minimum(ki, jnp.maximum(n_live - 1, 0))
@@ -257,19 +288,22 @@ def flash_banded_bwd(
     stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
                              lambda b, g, qi, ki, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM)
+    dsrow_q_spec = pl.BlockSpec((1, 1, block_q),
+                                lambda b, g, qi, ki, *_: (b, 0, qi),
+                                memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, mode=mode, w=w, l=l, d=d, scale=scale,
                           block_q=block_q, block_k=block_k, h=h, nk_grid=nk,
-                          s_kv=S_kv),
+                          s_kv=S_kv, varlen=varlen),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nq, nk),
             in_specs=[
                 q_spec,
                 pl.BlockSpec((1, 1, block_k, Dk), k_index, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_k, Dv), k_index, memory_space=pltpu.VMEM),
                 do_spec, stat_spec, stat_spec,
-            ],
+            ] + ([dsrow_q_spec] if varlen else []),
             out_specs=pl.BlockSpec((1, block_q, 1, h, Dk),
                                    lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
                                    memory_space=pltpu.VMEM),
@@ -277,7 +311,8 @@ def flash_banded_bwd(
         ),
         out_shape=jax.ShapeDtypeStruct(Q.shape, Q.dtype),
         interpret=interpret,
-    )(t0, Q, K, V, dO, lse, delta)
+    )(*([t0, ds_tile] if varlen else [t0]), Q, K, V, dO, lse, delta,
+      *([ds_row] if varlen else []))
 
     # kv-major pass
     if mode == "win":
@@ -286,6 +321,9 @@ def flash_banded_bwd(
         nq_inner = nq
 
     def q_index(b, g, ki, qi, t0_ref):
+        # inverse bounds stay closed-form (no ds): the doc constraint only
+        # shrinks the visible q set within the band; excess tiles are
+        # masked in-kernel
         k0 = ki * block_k
         qt_lo, n_live = _inverse_q_bounds(
             mode, w, l, d, k0, block_k, block_q, S, t0_ref[0]
@@ -293,31 +331,36 @@ def flash_banded_bwd(
         qt = qt_lo + jnp.minimum(qi, jnp.maximum(n_live - 1, 0))
         return jnp.clip(qt, 0, nq - 1)
 
+    def _qi(b, g, ki, qi, t0_ref, *more):
+        return q_index(b, g, ki, qi, t0_ref)
+
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, mode=mode, w=w, l=l, d=d, scale=scale,
                           block_q=block_q, block_k=block_k, h=h,
-                          nq_grid=nq_inner, s=S, s_kv=S_kv),
+                          nq_grid=nq_inner, s=S, s_kv=S_kv, varlen=varlen),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nk_total, nq_inner),
             in_specs=[
                 pl.BlockSpec((1, block_q, 1, h, Dk),
-                             lambda b, g, ki, qi, t0: (b, q_index(b, g, ki, qi, t0), g, 0, 0),
+                             lambda b, g, ki, qi, *sr: (b, _qi(b, g, ki, qi, *sr), g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi, *_: (b, g, ki, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, block_k, Dv), lambda b, g, ki, qi, *_: (b, g, ki, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, 1, h, Dv),
-                             lambda b, g, ki, qi, t0: (b, q_index(b, g, ki, qi, t0), g, 0, 0),
+                             lambda b, g, ki, qi, *sr: (b, _qi(b, g, ki, qi, *sr), g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, stats_rows(S, h)),
-                             lambda b, g, ki, qi, t0: (b * G + g, 0, 0),
+                             lambda b, g, ki, qi, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 1, stats_rows(S, h)),
-                             lambda b, g, ki, qi, t0: (b * G + g, 0, 0),
+                             lambda b, g, ki, qi, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] + ([pl.BlockSpec((1, 1, block_q),
+                               lambda b, g, ki, qi, *sr: (b, 0, _qi(b, g, ki, qi, *sr)),
+                               memory_space=pltpu.VMEM)] if varlen else []),
             out_specs=[
                 pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi, *_: (b, g, ki, 0),
                              memory_space=pltpu.VMEM),
@@ -334,5 +377,6 @@ def flash_banded_bwd(
             jax.ShapeDtypeStruct(V.shape, V.dtype),
         ],
         interpret=interpret,
-    )(t0, Q, K, V, dO, lse, delta)
+    )(*([t0, ds_tile] if varlen else [t0]), Q, K, V, dO, lse, delta,
+      *([ds_row] if varlen else []))
     return dq, dk, dv

@@ -31,6 +31,11 @@ DEFAULTS = {
     "cmp.bwd_block_k": 512,
     "sel.bwd_block_q": 128,
     "sel.bwd_kv_batch": 8,
+    # fused select+cmp backward (attention.fused_select_cmp): its own keys —
+    # inside the fused train graph bwd_block_q=256 measured 19.3k vs 48.1k
+    # toks/s at 128 (r2 bisect), opposite of the standalone cmp backward
+    "cmp.fused_bwd_block_q": 128,
+    "cmp.fused_bwd_block_k": 512,
 }
 
 _TUNING_PATH = os.environ.get(

@@ -61,8 +61,19 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     """
     optimizer = make_optimizer(tcfg)
     use_cp = mesh is not None and tcfg.sp > 1
+    if tcfg.varlen and use_cp:
+        raise NotImplementedError("varlen + context parallelism not supported yet")
 
     def loss_fn(params, tok_row):
+        if tcfg.varlen:
+            # tok_row = (tokens [B,S+1], seq_start [B,S], loss_mask [B,S])
+            toks, seq_start, loss_mask = tok_row
+            logits, auxes = model_forward(params, toks[:, :-1], mcfg,
+                                          collect_aux=True, seq_start=seq_start)
+            loss = cross_entropy_loss(logits, toks[:, 1:], mask=loss_mask)
+            gates = jnp.stack([a["gates"] for a in auxes])
+            sel = jnp.stack([a["sel_idx"] for a in auxes])
+            return loss, (gates.astype(jnp.float32), sel)
         if use_cp:
             from nsa_vibe_tpu.parallel.context import context_parallel_model_forward
 
@@ -107,8 +118,9 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
         return (params, grad_acc, loss_acc + loss, gate_acc + stats,
                 jnp.maximum(kmax_acc, kmax)), None
 
-    def train_step(state: TrainState, tokens: jnp.ndarray):
-        accum = tokens.shape[0]
+    def train_step(state: TrainState, tokens):
+        # varlen: tokens = (tokens [A,B,S+1], seq_start [A,B,S], loss_mask)
+        accum = (tokens[0] if isinstance(tokens, (tuple, list)) else tokens).shape[0]
         zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         (_, grads, loss_sum, gate_sum, kmax), _ = jax.lax.scan(
             micro,
@@ -144,14 +156,28 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
             "branch_shares": gate_stats[3:6],
             "sel_k_mean": gate_stats[6],
             "sel_k_max": kmax,
-            "tokens": jnp.asarray(tokens.shape[0] * tokens.shape[1] * (tokens.shape[2] - 1), jnp.int32),
+            # varlen: supervised (non-pad) tokens; else full batch tokens
+            "tokens": (tokens[2].sum().astype(jnp.int32)
+                       if isinstance(tokens, (tuple, list))
+                       else jnp.asarray(
+                           tokens.shape[0] * tokens.shape[1] * (tokens.shape[2] - 1),
+                           jnp.int32)),
         }
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
 
     return train_step
 
 
-def make_eval_step(mcfg: ModelConfig):
+def make_eval_step(mcfg: ModelConfig, varlen: bool = False):
+    if varlen:
+        def eval_step_v(params, batch) -> jnp.ndarray:
+            toks, seq_start, loss_mask = batch
+            logits, _ = model_forward(params, toks[:, :-1], mcfg,
+                                      seq_start=seq_start)
+            return cross_entropy_loss(logits, toks[:, 1:], mask=loss_mask)
+
+        return eval_step_v
+
     def eval_step(params, tokens: jnp.ndarray) -> jnp.ndarray:
         logits, _ = model_forward(params, tokens[:, :-1], mcfg)
         return cross_entropy_loss(logits, tokens[:, 1:])

@@ -95,7 +95,7 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
         k: getattr(args, k)
         for k in ("steps", "batch_size", "seq_len", "accum_steps", "lr", "seed",
                   "save_every", "eval_every", "log_every", "out_dir", "dp", "tp",
-                  "sp", "fsdp")
+                  "sp", "fsdp", "varlen")
         if getattr(args, k, None) is not None
     }
     if t_over:
@@ -165,7 +165,7 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
     dtype = jnp.dtype(mcfg.dtype)
     params = init_model_params(key, mcfg, dtype)
     step_fn, state, batch_shard = build_state_and_step(params, mcfg, tcfg, mesh)
-    eval_fn = jax.jit(make_eval_step(mcfg))
+    eval_fn = jax.jit(make_eval_step(mcfg, varlen=tcfg.varlen))
 
     ckpt_dir = os.path.join(run_dir, "ckpt")
     start_step = 0
@@ -175,6 +175,14 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
         print(f"[trainer] resumed from step {start_step}", flush=True)
 
     def _make(src):
+        if tcfg.varlen:
+            from nsa_vibe_tpu.ops.varlen import make_varlen_batches
+
+            return make_varlen_batches(
+                src, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
+                align=mcfg.nsa.l_sel, shard=Shard(n_proc, rank),
+                seed=tcfg.seed, tokenizer=tokenizer,
+            )
         return make_batches(
             src, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
             shard=Shard(n_proc, rank), seed=tcfg.seed, tokenizer=tokenizer,
@@ -250,8 +258,14 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
             batch_np, first_batch = first_batch, None
         else:
             batch_np = batches.get(timeout=300.0)
-        batch_np = batch_np.reshape(tcfg.accum_steps, tcfg.batch_size, tcfg.seq_len + 1)
-        batch = jnp.asarray(batch_np)
+        A, Bsz = tcfg.accum_steps, tcfg.batch_size
+        if tcfg.varlen:
+            toks, ds, lm = batch_np
+            batch = (jnp.asarray(toks.reshape(A, Bsz, -1)),
+                     jnp.asarray(ds.reshape(A, Bsz, -1)),
+                     jnp.asarray(lm.reshape(A, Bsz, -1)))
+        else:
+            batch = jnp.asarray(batch_np.reshape(A, Bsz, tcfg.seq_len + 1))
         if batch_shard is not None:
             batch = jax.device_put(batch, batch_shard)
         t0 = time.perf_counter()
@@ -306,8 +320,12 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
                   flush=True)
 
         if tcfg.eval_every and (step + 1) % tcfg.eval_every == 0:
-            vb = batches.get(timeout=300.0)[: tcfg.batch_size]
-            vl = float(eval_fn(state.params, jnp.asarray(vb)))
+            vb = batches.get(timeout=300.0)
+            if tcfg.varlen:
+                vb = tuple(jnp.asarray(a[: tcfg.batch_size]) for a in vb)
+                vl = float(eval_fn(state.params, vb))
+            else:
+                vl = float(eval_fn(state.params, jnp.asarray(vb[: tcfg.batch_size])))
             with open(val_path, "a", newline="") as vf:
                 csv.writer(vf).writerow([step + 1, f"{vl:.6f}", f"{np.exp(vl):.4f}"])
 
@@ -362,6 +380,9 @@ def main() -> None:
                     help="sequence-parallel axis (context-parallel attention)")
     ap.add_argument("--fsdp", action="store_true", default=None,
                     help="fully shard params/optimizer over dp (ZeRO-3)")
+    ap.add_argument("--varlen", action="store_true", default=None,
+                    help="document-masked packed batching (no cross-doc "
+                         "attention; loss-masked padding; ops.varlen)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--watchdog", action="store_true", help="in-process watchdog thread")
     ap.add_argument("--profile", type=int, default=0, metavar="N",

@@ -8,6 +8,7 @@ an artifacts tree and a pass/fail/skip summary JSON. Groups here:
   decode   pytest: decode counters/parity + needle
   train    pytest: model/train step + context parallel
   smoke    20-step synthetic trainer run (loss must decrease)
+  needle64k  on-device 64k end-to-end needle retrieval (TPU)
   bench    bench.py decode latency (TPU only unless --cpu-bench)
 
 Run: python scripts/run_readiness.py [--out artifacts/readiness]
@@ -74,6 +75,11 @@ def main() -> None:
                 "--out-dir", os.path.join(args.out, "smoke_run"),
             ])
             status = "pass" if rc == 0 and '"final_loss"' in log else "fail"
+        elif g == "needle64k":
+            # on-device 64k END-TO-END needle (full module, asserted) —
+            # promotion of the CPU 4k test into the readiness gate
+            rc, log = run([sys.executable, "bench/needle_e2e.py"], timeout=3600)
+            status = "pass" if rc == 0 else "fail"
         elif g == "bench":
             rc, log = run([sys.executable, "bench.py"], timeout=3600)
             status = "pass" if rc == 0 else "fail"

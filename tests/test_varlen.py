@@ -1,0 +1,112 @@
+"""Varlen / document-masked batching (ops.varlen).
+
+The defining property: with l_sel-aligned packing, every packed document
+behaves EXACTLY as if it were alone in its own row — same RoPE positions,
+same compression windows, same selection, no attention across document
+boundaries (reference varlen surface: nsa/core/collate.py:6-44,
+attention_kernels.py:391-702 — reproduced here with static shapes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsa_vibe_tpu.core.config import NSAConfig
+from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+from nsa_vibe_tpu.ops.varlen import make_varlen_batches, pack_documents_aligned
+
+CFG = NSAConfig(dim=64, n_heads=4, n_kv_groups=2, d_k=32, d_v=32,
+                l=8, d=4, l_sel=16, n_sel=4, w=24, kernel="reference")
+
+# packed layout: doc A = rows [0, 40) (padded to 48), doc B = rows
+# [48, 98) (padded to 112), pad tail [112, 128)
+LEN_A, LEN_B, S = 40, 50, 128
+DS_ROW = np.concatenate([np.zeros(48), np.full(64, 48), np.full(16, 112)])
+
+
+def _setup(key=0):
+    params = init_nsa_params(jax.random.PRNGKey(key), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(key + 1), (1, S, CFG.dim))
+    ds = jnp.asarray(DS_ROW, jnp.int32)[None, :]
+    return params, x, ds
+
+
+@pytest.mark.parametrize("kernel", ["reference", "pallas"])
+def test_varlen_prefill_matches_solo_docs(kernel):
+    """Packed-row outputs at each document's positions == the document
+    run alone in its own row. Catches cross-document leakage, wrong
+    RoPE restart, and wrong window/selection visibility in one shot."""
+    cfg = CFG.replace(kernel=kernel)
+    params, x, ds = _setup()
+    out_packed, aux = jax.jit(
+        lambda p, x, ds: nsa_prefill(p, x, cfg, seq_start=ds)
+    )(params, x, ds)
+    for start, ln in ((0, LEN_A), (48, LEN_B)):
+        solo, _ = jax.jit(lambda p, xs: nsa_prefill(p, xs, cfg))(
+            params, x[:, start:start + ln])
+        got = np.asarray(out_packed[:, start:start + ln])
+        want = np.asarray(solo)
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4,
+                                   err_msg=f"doc@{start} kernel={kernel}")
+
+
+def test_varlen_selection_is_doc_local():
+    params, x, ds = _setup()
+    _, aux = jax.jit(lambda p, x, ds: nsa_prefill(p, x, params_cfg(), seq_start=ds)
+                     )(params, x, ds)
+    sel = np.asarray(aux["sel_idx"])                       # [1,S,G,n]
+    ds_np = np.asarray(ds[0])
+    for t in range(S):
+        first = ds_np[t] // CFG.l_sel
+        row = sel[0, t]
+        live = row[row >= 0]
+        assert (live >= first).all() and (live * CFG.l_sel <= t).all(), (t, row)
+
+
+def params_cfg():
+    return CFG
+
+
+def test_varlen_gradients_pallas_match_reference():
+    params, x, ds = _setup()
+
+    def loss(p, kernel):
+        out, _ = nsa_prefill(p, x, CFG.replace(kernel=kernel), seq_start=ds)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g_r = jax.jit(jax.grad(loss), static_argnums=1)(params, "reference")
+    g_p = jax.jit(jax.grad(loss), static_argnums=1)(params, "pallas")
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_r),
+                            jax.tree_util.tree_leaves(g_p)):
+        mae = float(jnp.abs(a - b).mean())
+        scale = float(jnp.abs(a).mean()) + 1e-8
+        assert mae / scale < 2e-4, f"{path}: rel grad MAE {mae / scale}"
+
+
+def test_pack_documents_aligned():
+    docs = [np.arange(1, 41), np.arange(100, 150), np.arange(7, 20)]
+    toks, ds, lm = pack_documents_aligned(docs, seq_len=128, align=16,
+                                          batch_size=1)
+    assert toks.shape[1] == 129 and ds.shape[1] == 128
+    # every document start is aligned and its tokens carry its start
+    assert (np.unique(ds) % 16 == 0).all()
+    # first doc at offset 0: 40 tokens, 39 supervised positions
+    assert toks[0, :40].tolist() == list(range(1, 41))
+    assert lm[0, :39].all() and not lm[0, 39]
+    assert (ds[0, :40] == 0).all()
+    # second doc starts at 48 (40 rounded up to 16-multiple)
+    assert toks[0, 48] == 100 and (ds[0, 48:98] == 48).all()
+    # loss never crosses a document: supervised positions' NEXT token is
+    # inside the same document
+    for b in range(toks.shape[0]):
+        for t in np.nonzero(lm[b])[0]:
+            assert ds[b, t] == ds[b, min(t + 1, 127)] or lm[b, t] == 0
+
+
+def test_make_varlen_batches_synthetic():
+    gen = make_varlen_batches("synthetic", seq_len=64, batch_size=2, align=16)
+    toks, ds, lm = next(gen)
+    assert toks.shape == (2, 65) and ds.shape == (2, 64) and lm.shape == (2, 64)
+    assert (ds % 16 == 0).all()
+    assert lm.sum() > 0
