@@ -334,6 +334,20 @@ def selection_attention(
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
     Qp, h = _pad_odd_heads(Q)
+    # the sel kernel q-chunks long sequences to bound its scalar-prefetch
+    # SMEM footprint (order array ~ nq*J ints; 65k rows unchunked is a
+    # 2+ MB SMEM operand > the 1 MB budget) — pad S to the chunk grid so
+    # chunking always engages; padded rows carry sel=-1 (no members, zero
+    # output, zero gradient) and are sliced off
+    S = Qp.shape[1]
+    q_chunk = 4096
+    pad_s = (-S) % q_chunk if S > q_chunk else 0
+    if pad_s:
+        Qp = jnp.pad(Qp, ((0, 0), (0, pad_s), (0, 0), (0, 0), (0, 0)))
+        sel_idx = jnp.pad(sel_idx, ((0, 0), (0, pad_s), (0, 0), (0, 0)),
+                          constant_values=-1)
     out = _sel_flash_vjp(l_sel, scale, interpret)(
         sel_idx, _as_t0(pos_offset), Qp, K, V)
+    if pad_s:
+        out = out[:, :S]
     return out[:, :, :, :h] if Qp.shape[3] != h else out

@@ -126,20 +126,21 @@ def _flash_kernel(
             preferred_element_type=jnp.float32,
         ) * scale                                         # [Tq*h, Tk]
 
-        # additive masking on the compact [Tq, Tk] tile (heads share the
-        # row mask), broadcast into the row-flat logits with ONE add —
-        # instead of materializing a [Tq*h, Tk] bool mask + two wheres
+        # FLAT additive masking: bounds computed per flat row (t = t_first
+        # + row//h) directly on the [Tq*h, Tk] logits. The compact-[Tq,Tk]
+        # mask + reshape/broadcast-add costs ~1.1 ms/call at m7c shapes
+        # (r2 ablation: 4.79 -> 3.66 ms) — the head-interleaving reshape
+        # is a Mosaic relayout; flat iota compares are near-free.
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        tpos = t_first + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+        tposf = t_first + rowi // h                       # [rows,1]
         ds_r = None
         if varlen:
-            lane = dsrow_ref[0, 0, :].reshape(1, block_q)
-            ds_r = jax.lax.transpose(lane, (1, 0))        # [Tq,1]
-        lo_r, hi_r = bounds(tpos, ds_r)                   # [Tq,1]
+            lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
+            ds_r = jax.lax.transpose(lane, (1, 0))        # [rows,1] row-expanded
+        lo_r, hi_r = bounds(tposf, ds_r)                  # [rows,1]
         maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
-        bias = (maskf - 1.0) * 1e30                       # 0 in-band, -1e30 out
-        logits = (logits.reshape(block_q, h, block_k) + bias[:, None, :]
-                  ).reshape(block_q * h, block_k)
+        logits = logits + (maskf - 1.0) * 1e30            # 0 in-band, -1e30 out
 
         m_prev = m_scr[:]                                 # [h*Tq, 1]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
@@ -288,10 +289,10 @@ def flash_banded(
     ]
     operands = [t0]
     if varlen:
-        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq)
+        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq, h)
         operands.append(ds_tile)
         in_specs.append(pl.BlockSpec(
-            (1, 1, block_q), lambda b, g, qi, ki, *_: (b, 0, qi),
+            (1, 1, block_q * h), lambda b, g, qi, ki, *_: (b, 0, qi),
             memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if varlen else 1,
@@ -313,15 +314,19 @@ def flash_banded(
     )(*args)
 
 
-def _varlen_operands(seq_start: jnp.ndarray, S: int, block_q: int, nq: int):
-    """seq_start [B,S] -> (ds_row [B,1,nq*block_q] lane-flat VMEM operand,
-    ds_tile [B,2,nq] scalar-prefetch operand with per-tile (first,last))."""
+def _varlen_operands(seq_start: jnp.ndarray, S: int, block_q: int, nq: int,
+                     h: int):
+    """seq_start [B,S] -> (ds_row [B,1,nq*block_q*h] lane-flat VMEM operand,
+    ROW-EXPANDED so flat row r carries ds of token r//h — matches the flat
+    [Tq*h, Tk] masking; ds_tile [B,2,nq] scalar-prefetch operand with
+    per-tile (first,last))."""
     ds = seq_start.astype(jnp.int32)
     Sp = nq * block_q
     if Sp != S:
         ds = jnp.pad(ds, ((0, 0), (0, Sp - S)), mode="edge")
     ds_tile = jnp.stack([ds[:, ::block_q], ds[:, block_q - 1::block_q]], axis=1)
-    return ds[:, None, :], ds_tile
+    ds_flat = jnp.repeat(ds, h, axis=1)           # [B, Sp*h] (XLA-side, cheap)
+    return ds_flat[:, None, :], ds_tile
 
 
 def sliding_window_attention_pallas(

@@ -91,18 +91,18 @@ def _dq_kernel(
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        # compact [Tq, Tk] additive bias broadcast over heads (one add)
+        # flat additive masking on [rows, Tk] (see flash._flash_kernel —
+        # the compact-mask head-broadcast reshape is a costly relayout)
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        tpos = t_first + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        rowi = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+        tposf = t_first + rowi // h
         ds_r = None
         if varlen:
-            lane = dsrow_ref[0, 0, :].reshape(1, block_q)
-            ds_r = jax.lax.transpose(lane, (1, 0))        # [Tq,1]
-        lo_r, hi_r = bounds(tpos, ds_r)
+            lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
+            ds_r = jax.lax.transpose(lane, (1, 0))        # [rows,1]
+        lo_r, hi_r = bounds(tposf, ds_r)
         maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
-        logits = (logits.reshape(block_q, h, block_k)
-                  + ((maskf - 1.0) * 1e30)[:, None, :]
-                  ).reshape(block_q * h, block_k)
+        logits = logits + (maskf - 1.0) * 1e30
         lse = _load_stats(lse_ref, qi * block_q * h,
                           block_q * h)                    # [rows,1]
         p = jnp.exp(logits - lse)                         # masked -> exactly 0
@@ -190,19 +190,17 @@ def _dkv_kernel(
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
+        # flat additive masking on [rows, Tk] (see flash._flash_kernel)
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        tpos = t0 + srow
+        flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+        tposf = t0 + qt * block_q + flat // h             # [rows,1]
         ds_r = None
         if varlen:
-            lane = dsrow_ref[0, 0, :].reshape(1, block_q)
-            ds_r = jax.lax.transpose(lane, (1, 0))        # [Tq,1]
-        lo_r, hi_r = bounds(tpos, ds_r)
+            lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
+            ds_r = jax.lax.transpose(lane, (1, 0))        # [rows,1]
+        lo_r, hi_r = bounds(tposf, ds_r)
         maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
-        logits = (logits.reshape(block_q, h, block_k)
-                  + ((maskf - 1.0) * 1e30)[:, None, :]
-                  ).reshape(block_q * h, block_k)
-        # flat-row validity via iota (Mosaic cannot reshape i1 vectors)
-        flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+        logits = logits + (maskf - 1.0) * 1e30
         rowvf = (qt * block_q + flat // h) < s            # [rows,1] bool
         lse_raw = _load_stats(lse_ref, qt * block_q * h,
                               block_q * h)
@@ -263,7 +261,7 @@ def flash_banded_bwd(
     t0 = _as_t0(t_start)
     varlen = seq_start is not None
     if varlen:
-        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq)
+        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq, h)
 
     if mode == "win":
         nk = min(pl.cdiv(block_q - 1 + w, block_k) + 1, nk_total)
@@ -288,7 +286,7 @@ def flash_banded_bwd(
     stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
                              lambda b, g, qi, ki, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM)
-    dsrow_q_spec = pl.BlockSpec((1, 1, block_q),
+    dsrow_q_spec = pl.BlockSpec((1, 1, block_q * h),
                                 lambda b, g, qi, ki, *_: (b, 0, qi),
                                 memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
@@ -358,7 +356,7 @@ def flash_banded_bwd(
                 pl.BlockSpec((1, 1, stats_rows(S, h)),
                              lambda b, g, ki, qi, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
-            ] + ([pl.BlockSpec((1, 1, block_q),
+            ] + ([pl.BlockSpec((1, 1, block_q * h),
                                lambda b, g, ki, qi, *sr: (b, 0, _qi(b, g, ki, qi, *sr)),
                                memory_space=pltpu.VMEM)] if varlen else []),
             out_specs=[

@@ -57,9 +57,11 @@ def _scorer_kernel(
 
     tpos = (t0_ref[0] + qt * block_q
             + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))  # [Tq,1]
-    s_raw = tpos + 1
-    num_cmp = jnp.where(s_raw >= l, (s_raw - l) // d + 1, 0)          # [Tq,1]
-    num_cmp_r = jnp.broadcast_to(num_cmp[:, None, :], (block_q, h, 1)).reshape(rows, 1)
+    # flat-row visibility bound (row r is token r//h): iota arithmetic
+    # instead of a [Tq,1]->[rows,1] head-interleave relayout
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    s_rawf = t0_ref[0] + qt * block_q + rowi // h + 1
+    num_cmp_r = jnp.where(s_rawf >= l, (s_rawf - l) // d + 1, 0)      # [rows,1]
 
     @pl.when(c == 0)
     def _init():
@@ -247,9 +249,11 @@ def _select_cmp_kernel(
 
     tpos = (t0_ref[0] + qt * block_q
             + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))  # [Tq,1]
-    s_raw = tpos + 1
-    num_cmp = jnp.where(s_raw >= l, (s_raw - l) // d + 1, 0)          # [Tq,1]
-    num_cmp_r = jnp.broadcast_to(num_cmp[:, None, :], (block_q, h, 1)).reshape(rows, 1)
+    # flat-row visibility bound (row r is token r//h): iota arithmetic
+    # instead of a [Tq,1]->[rows,1] head-interleave relayout
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    s_rawf = t0_ref[0] + qt * block_q + rowi // h + 1
+    num_cmp_r = jnp.where(s_rawf >= l, (s_rawf - l) // d + 1, 0)      # [rows,1]
 
     @pl.when(c == 0)
     def _init():

@@ -235,6 +235,8 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
     tokens_per_step = tcfg.accum_steps * tcfg.batch_size * tcfg.seq_len * n_proc
     last_loss = float("nan")
     t_start = time.perf_counter()
+    t_window = t_start
+    pending_good: list = []
     step = start_step
     summary_toks = 0.0
 
@@ -268,29 +270,46 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
             batch = jnp.asarray(batch_np.reshape(A, Bsz, tcfg.seq_len + 1))
         if batch_shard is not None:
             batch = jax.device_put(batch, batch_shard)
-        t0 = time.perf_counter()
         state, metrics = step_fn(state, batch)
-        loss = float(metrics["loss"])
-        dt = time.perf_counter() - t0
-        toks_per_s = tokens_per_step / dt
-        summary_toks = toks_per_s
-        last_loss = loss
+        # async logging: dispatching the next step before fetching this
+        # step's scalars keeps the device busy (a per-step float() sync
+        # serializes host and device — the reference ships an async
+        # logging path for the same reason). Device scalars queue in
+        # pending_good and are materialized together at log boundaries,
+        # so NaN-abort latency is bounded by log_every, not lost.
+        pending_good.append(metrics["good"])
+        sync_now = (step + 1) % tcfg.log_every == 0 or step == start_step \
+            or step == tcfg.steps - 1 \
+            or (tcfg.eval_every and (step + 1) % tcfg.eval_every == 0) \
+            or (tcfg.save_every and (step + 1) % tcfg.save_every == 0)
+        if sync_now:
+            loss = float(metrics["loss"])   # completes all queued steps
+            now = time.perf_counter()
+            n_window = len(pending_good)
+            toks_per_s = tokens_per_step * n_window / max(now - t_window, 1e-9)
+            t_window = now
+            summary_toks = toks_per_s
+            last_loss = loss
 
-        good = bool(metrics["good"])
-        if not good:
-            bad_streak += 1
-            total_bad += 1
-            if bad_streak >= 3:
+            abort = False
+            for g in pending_good:
+                if not bool(g):
+                    bad_streak += 1
+                    total_bad += 1
+                    if bad_streak >= 3:
+                        abort = True
+                else:
+                    bad_streak = 0
+            pending_good = []
+            if abort:
                 with open(os.path.join(run_dir, ".anomaly_type"), "w") as f:
                     f.write("nan_loss\n")
                 with open(halt_path, "w") as f:
                     f.write("coherent NaN abort\n")
                 print(f"[trainer] NaN abort at step {step}", flush=True)
                 break
-        else:
-            bad_streak = 0
 
-        if (step + 1) % tcfg.log_every == 0 or step == start_step:
+        if sync_now:
             shares = np.asarray(metrics["branch_shares"])
             row = [step + 1, f"{loss:.6f}", f"{toks_per_s:.1f}",
                    f"{float(metrics['grad_norm']):.4f}",

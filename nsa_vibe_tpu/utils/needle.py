@@ -91,14 +91,17 @@ def needle_probe(
     needle_row[d:d + cfg.d_v] = v0 * 4.0
 
     def run(plant: bool):
+        # prefill the full S-token context (keeps S chunk-friendly at 64k),
+        # then decode the probe query as token S+1
         x = base.copy()
         if plant:
             x[0, needle_pos:needle_pos + cfg.l] = needle_row
         x[0, S - 1] = query
         xj = jnp.asarray(x, dtype)
-        _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, xj[:, :S - 1])
-        cache = cache_from_prefill(cfg, aux, capacity=S + 8)
         if decode:
+            _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(
+                params, xj[:, :S - 1])
+            cache = cache_from_prefill(cfg, aux, capacity=S + 8)
             out, _, info = jax.jit(
                 lambda p, xt, c: nsa_decode_step(p, xt, c, cfg)
             )(params, xj[:, S - 1:], cache)

@@ -149,3 +149,25 @@ def test_decode_overflow_flag(setup):
         xt = x[:, tt % x.shape[1]][:, None]
         _, cache, info = step(params, xt, cache)
         assert bool(info.overflow) == (tt >= capacity), tt
+
+
+def test_decode_reads_trend_long_horizon(setup):
+    """Reads trend over a long decode horizon (reference
+    test_decode_reads_trend.py, strengthened): reads_pred follows the
+    exact formula at every step, the window term saturates at w, and the
+    cmp term grows by 1 exactly every d steps after warmup."""
+    params, x = setup
+    S = 120
+    _, _, infos = _decode_all(params, x[:, : min(S, x.shape[1])].repeat(3, axis=1)[:, :S], CFG, 128)
+    reads = [int(i.reads_pred) for i in infos]
+    wins = [int(i.reads_win) for i in infos]
+    cmps = [int(i.reads_cmp) for i in infos]
+    for tt in range(S):
+        s_raw = tt + 1
+        assert reads[tt] == expected_decode_reads(
+            s_raw, CFG.l, CFG.d, CFG.l_sel, CFG.n_sel, CFG.w)
+    assert wins[CFG.w - 1:] == [CFG.w] * (S - CFG.w + 1)      # saturation
+    for tt in range(1, S):
+        d_cmp = cmps[tt] - cmps[tt - 1]
+        want = 1 if (tt + 1 >= CFG.l and (tt + 1 - CFG.l) % CFG.d == 0) else 0
+        assert d_cmp == want, (tt, d_cmp, want)

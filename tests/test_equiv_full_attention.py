@@ -87,3 +87,56 @@ def test_pallas_interpret_matches_reference_win_oracle():
     ref = _full_causal_oracle(params, x, cfg, "win")
     mae = float(jnp.abs(out - ref).mean())
     assert mae < 2e-5, f"pallas win-forced MAE {mae}"
+
+
+def test_branch_ablation_equivalence():
+    """Force the gate one-hot to each branch (reference
+    test_equiv_ablation.py — which only checked SHAPES; here the forced
+    output must EQUAL the branch oracle computed directly from the same
+    projections + W_O)."""
+    import numpy as np
+
+    from nsa_vibe_tpu.core.nsa import nsa_prefill, project_qkv
+    from nsa_vibe_tpu.ops import reference as ref
+    from nsa_vibe_tpu.ops.compress import pool_phi_rope_kv
+    from nsa_vibe_tpu.ops.rope import apply_rope
+
+    cfg = NSAConfig(dim=64, n_heads=4, n_kv_groups=2, d_k=16, d_v=16,
+                    l=8, d=4, l_sel=8, n_sel=3, w=16, kernel="reference")
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg)
+    B, S = 2, 48
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg.dim))
+    t_pos = jnp.arange(S, dtype=jnp.int32)
+    scale = 1.0 / np.sqrt(cfg.d_k)
+    G, h = cfg.n_kv_groups, cfg.h_per_group
+
+    Q, K_sel, V_sel, K_win, V_win, K_cr, V_cr = project_qkv(params, x, cfg)
+    Qr = apply_rope(Q, t_pos[:, None], cfg.rope_base).reshape(B, S, G, h, cfg.d_k)
+    K_win_r = apply_rope(K_win, t_pos, cfg.rope_base)
+    K_sel_r = apply_rope(K_sel, t_pos, cfg.rope_base)
+    K_cmp, V_cmp = pool_phi_rope_kv(K_cr, V_cr, cfg.l, cfg.d, pos=t_pos)
+    from nsa_vibe_tpu.ops.block_index import num_cmp_blocks
+    nct = jnp.minimum(jnp.asarray(
+        num_cmp_blocks(np.arange(1, S + 1), cfg.l, cfg.d), jnp.int32),
+        K_cmp.shape[2])
+
+    oracles = {
+        "win": lambda: ref.sliding_window_attention(
+            Qr, K_win_r, V_win, t_pos, cfg.w, scale),
+        "cmp": lambda: ref.compressed_attention(Qr, K_cmp, V_cmp, nct, scale),
+    }
+    for branch, oracle in oracles.items():
+        forced = cfg.replace(force_branch=branch)
+        got, _ = nsa_prefill(params, x, forced)
+        O = oracle()
+        want = O.reshape(B, S, cfg.n_heads * cfg.d_v) @ params["W_O"]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=1e-4, err_msg=branch)
+    # sel: use the selection actually made by the module
+    forced = cfg.replace(force_branch="sel")
+    got, aux = nsa_prefill(params, x, forced)
+    O = ref.selection_attention(Qr, K_sel_r, V_sel, aux["sel_idx"], t_pos,
+                                cfg.l_sel, scale)
+    want = O.reshape(B, S, cfg.n_heads * cfg.d_v) @ params["W_O"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4, err_msg="sel")
