@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _spec = _ilu.spec_from_file_location(
     "autotune", os.path.join(os.path.dirname(os.path.abspath(__file__)), "autotune.py"))
@@ -117,6 +118,19 @@ def make_kernel(mode: str):
                      for i in range(KB)], axis=-1)                   # [rows, KB*l_sel]
                 maskf = (kcat <= thr_wide).astype(jnp.float32)
                 logits = logits + (maskf - 1.0) * 1e30
+            elif mode == "plrepeat":
+                tpos = (t0_ref[0] + qt * block_q
+                        + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
+                kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+                subs = []
+                for blk_i, jdx in blks:
+                    live = jdx < cnt
+                    member = jnp.any(sel_q == blk_i, axis=-1) & live
+                    kpos = blk_i * l_sel + kiota
+                    subs.append((member[:, None] & (kpos <= tpos)).astype(jnp.float32))
+                maskc = jnp.concatenate(subs, axis=-1)          # [Tq, KB*l_sel]
+                maskf = pltpu.repeat(maskc, h, 0)               # [rows, KB*l_sel]
+                logits = logits + (maskf - 1.0) * 1e30
             # mode == "nomask": skip entirely
 
             m_prev = m_scr[:]
@@ -153,7 +167,7 @@ def main() -> None:
 
     for bq, kb in ((256, 8), (128, 8), (256, 16)):
         print(f"--- sel block_q={bq} kv_batch={kb} ---")
-        for mode in ("orig", "full", "thresh", "nomask"):
+        for mode in ("orig", "plrepeat", "nomask"):
             sel_flash._sel_flash_kernel = orig if mode == "orig" else make_kernel(mode)
             sel_flash.selection_flash_pallas.clear_cache()
             try:

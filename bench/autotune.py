@@ -61,6 +61,8 @@ def main() -> None:
     ap.add_argument("--S", type=int, default=2048)
     ap.add_argument("--write", action="store_true",
                     help="write winners to configs/kernel_tuning.json")
+    ap.add_argument("--bwd", action="store_true",
+                    help="also sweep the backward kernels' tile keys")
     args = ap.parse_args()
 
     from nsa_vibe_tpu.ops.block_index import num_cmp_blocks
@@ -111,6 +113,52 @@ def main() -> None:
               lambda c: lambda q: selection_flash_pallas(
                   q, K, V, sel, l_sel=l_sel, scale=0.125, block_q=c[0], kv_batch=c[1]))
     winners["sel.block_q"], winners["sel.kv_batch"] = b[0]
+
+    if args.bwd:
+        from nsa_vibe_tpu.ops.pallas.flash import flash_banded
+        from nsa_vibe_tpu.ops.pallas.flash_bwd import flash_banded_bwd
+        from nsa_vibe_tpu.ops.pallas.sel_flash import selection_flash_bwd
+
+        def bwd_fn(mode, kw, bq, bk):
+            def run(q):
+                O, lse = flash_banded(q, K if mode == "win" else Kc,
+                                      V if mode == "win" else Vc,
+                                      mode=mode, scale=0.125, return_lse=True, **kw)
+                delta = jnp.zeros_like(lse)
+                dq, dk, dv = flash_banded_bwd(
+                    q, K if mode == "win" else Kc, V if mode == "win" else Vc,
+                    O, lse, delta, mode=mode, scale=0.125,
+                    block_q=bq, block_k=bk, **kw)
+                return dq + (jnp.sum(dk.astype(jnp.float32))
+                             + jnp.sum(dv.astype(jnp.float32))).astype(dq.dtype) * 1e-30
+            return run
+
+        print("win.bwd (block_q, block_k):")
+        b = sweep("win.bwd", [(bq, bk) for bq in (128, 256) for bk in (256, 512)],
+                  lambda c: bwd_fn("win", dict(w=w), c[0], c[1]))
+        winners["win.bwd_block_q"], winners["win.bwd_block_k"] = b[0]
+        print("cmp.bwd (block_q, block_k):")
+        b = sweep("cmp.bwd", [(bq, bk) for bq in (128, 256) for bk in (128, 512)],
+                  lambda c: bwd_fn("cmp", dict(l=l, d=d), c[0], c[1]))
+        winners["cmp.bwd_block_q"], winners["cmp.bwd_block_k"] = b[0]
+
+        from nsa_vibe_tpu.ops.pallas.flash import stats_rows
+
+        def sel_bwd_fn(bq, kb):
+            def run(q):
+                O = selection_flash_pallas(q, K, V, sel, l_sel=l_sel, scale=0.125)
+                z = jnp.zeros((B * 2, 1, stats_rows(args.S, 6)), jnp.float32)
+                dq, dk, dv = selection_flash_bwd(
+                    q, K, V, sel, O, z + 1.0, z, l_sel=l_sel, scale=0.125,
+                    block_q=bq, kv_batch=kb)
+                return dq + (jnp.sum(dk.astype(jnp.float32))
+                             + jnp.sum(dv.astype(jnp.float32))).astype(dq.dtype) * 1e-30
+            return run
+
+        print("sel.bwd (block_q, kv_batch):")
+        b = sweep("sel.bwd", [(bq, kb) for bq in (128, 256) for kb in (4, 8)],
+                  lambda c: sel_bwd_fn(c[0], c[1]))
+        winners["sel.bwd_block_q"], winners["sel.bwd_kv_batch"] = b[0]
 
     print(json.dumps(winners, indent=2))
     if args.write:

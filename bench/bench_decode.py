@@ -7,11 +7,12 @@ per-branch latency; write a CSV with ms_total/ms_cmp/ms_sel/ms_win and
 actual-vs-expected memory reads, where
     expected(S) = num_cmp(S) + n*l' + min(w, S)          (bench_decode.py:36-38)
 
-TPU notes: the whole decode step is one jitted XLA program, so "per-branch
-time" is measured the reference's way — force the gate to one branch and
-time the full step (gating does not change the computation graph under
-jit; it isolates numerics, and the delta vs total reflects XLA's ability
-to skip nothing — reported for contract parity).
+TPU notes: the whole decode step is one jitted XLA program, so forcing
+the gate does not remove work and the full-step time barely moves.
+--branches therefore times each branch's attention computation in TRUE
+ISOLATION (its own chained jitted program over the prefilled cache, like
+the reference's per-branch isolation, bench_decode.py:149-214), with
+the per-dispatch pedestal subtracted via an identity chain.
 
 Run: python bench/bench_decode.py [--S 512,1024,2048,4096] [--iters 64]
      [--csv artifacts/decode.csv] [--branches]
@@ -99,6 +100,83 @@ def serve_bench(args) -> None:
     }))
 
 
+def time_branches_isolated(params, cfg: NSAConfig, x_ctx, iters: int = 256):
+    """Per-branch decode attention latency, each branch as its own chained
+    jitted program over the prefilled cache (true isolation)."""
+    import numpy as np
+
+    from nsa_vibe_tpu.core.decode import (
+        _gathered_selection_attention,
+        _masked_single_query_attention,
+    )
+    from nsa_vibe_tpu.core.cache import cmp_capacity
+    from nsa_vibe_tpu.ops.attention import resolve_kernel
+    from nsa_vibe_tpu.ops.selection import select_topn_blocks, selection_scores
+    from nsa_vibe_tpu.ops.block_index import build_block_meta
+
+    B, S = x_ctx.shape[0], x_ctx.shape[1]
+    _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x_ctx)
+    cache = cache_from_prefill(cfg, aux, capacity=S + 8)
+    scale = 1.0 / float(np.sqrt(cfg.d_k))
+    G, h = cfg.n_kv_groups, cfg.h_per_group
+    t = cache.t - 1
+    C = cache.capacity
+    C_cmp = cmp_capacity(C, cfg.l, cfg.d)
+    Q0 = jax.random.normal(jax.random.PRNGKey(3), (B, G, h, cfg.d_k), x_ctx.dtype)
+    num_cmp = jnp.where(t + 1 >= cfg.l, (t + 1 - cfg.l) // cfg.d + 1, 0).astype(jnp.int32)
+    meta = build_block_meta(C, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
+    M = jnp.asarray(meta.M_csl[:C_cmp, : C // cfg.l_sel + (1 if C % cfg.l_sel else 0)])
+    p_grp = selection_scores(Q0[:, None], cache.k_cmp, M, scale, num_cmp[None])
+    sel_idx = select_topn_blocks(p_grp, cfg.n_sel, t[None], cfg.l_sel,
+                                 cfg.force_init, cfg.force_local)
+    impl, interpret = resolve_kernel(cfg.kernel)
+    use_kernel = impl == "pallas" and not interpret
+
+    win_valid = (jnp.arange(cfg.w, dtype=jnp.int32) <= t) | (t >= cfg.w)
+    cmp_valid = jnp.arange(C_cmp, dtype=jnp.int32) < num_cmp
+
+    def f_cmp(q):
+        return _masked_single_query_attention(q, cache.k_cmp, cache.v_cmp,
+                                              cmp_valid, scale)
+
+    def f_win(q):
+        return _masked_single_query_attention(q, cache.k_win, cache.v_win,
+                                              win_valid, scale)
+
+    def f_sel(q):
+        out, _ = _gathered_selection_attention(
+            q, cache.k_sel, cache.v_sel, sel_idx[:, 0], t, cfg.l_sel, scale,
+            use_kernel=use_kernel)
+        return out
+
+    def f_score(q):
+        pg = selection_scores(q[:, None], cache.k_cmp, M, scale, num_cmp[None])
+        return select_topn_blocks(pg, cfg.n_sel, t[None], cfg.l_sel,
+                                  cfg.force_init, cfg.force_local).astype(x_ctx.dtype)
+
+    def chain(fn):
+        @jax.jit
+        def run(q):
+            def body(q, _):
+                out = fn(q)
+                return (q + jnp.sum(out.astype(jnp.float32)) * 1e-30
+                        ).astype(q.dtype), None
+            return jax.lax.scan(body, q, None, length=iters)[0]
+
+        r = run(Q0); _ = float(r.reshape(-1)[0].astype(jnp.float32))
+        best = float("inf")
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            r = run(Q0); _ = float(r.reshape(-1)[0].astype(jnp.float32))
+            best = min(best, time.perf_counter() - t0)
+        return best / iters * 1e3
+
+    ped = chain(lambda q: q)
+    return {name: round(max(chain(fn) - ped, 0.0), 4)
+            for name, fn in (("cmp", f_cmp), ("sel", f_sel), ("win", f_win),
+                             ("score", f_score))}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--S", default="512,1024,2048,4096")
@@ -136,10 +214,7 @@ def main() -> None:
         ms_total, info = time_decode(params, cfg, x_ctx, args.iters, args.warmup)
         branch_ms = {}
         if args.branches:
-            for br in ("cmp", "sel", "win"):
-                ms_br, _ = time_decode(params, cfg.replace(force_branch=br),
-                                       x_ctx, args.iters, args.warmup)
-                branch_ms[br] = ms_br
+            branch_ms = time_branches_isolated(params, cfg, x_ctx)
         S_end = S + args.iters + args.warmup
         row = {
             "S": S,

@@ -30,9 +30,13 @@ from nsa_vibe_tpu.ops.pallas.flash import (
     flash_banded,
     sliding_window_attention_pallas,
 )
-from nsa_vibe_tpu.ops.pallas.flash_bwd import flash_banded_bwd
+from nsa_vibe_tpu.ops.pallas.flash_bwd import (
+    flash_banded_bwd,
+    flash_banded_bwd_onepass,
+)
 from nsa_vibe_tpu.ops.pallas.sel_flash import (
     selection_flash_bwd,
+    selection_flash_bwd_onepass,
     selection_flash_pallas,
 )
 from nsa_vibe_tpu.ops.pallas.selection import selection_attention_pallas
@@ -75,13 +79,17 @@ def fused_select_cmp(
     def bwd(res, g):
         t0, Q, K, V, O, lse = res
         _, gO = g                      # selection output is int (float0 grad)
-        dq, dk, dv = flash_banded_bwd(Q, K, V, gO, lse, _delta(gO, O),
+        dq, dk, dv = _bwd_impl()(Q, K, V, gO, lse, _delta(gO, O),
                                       t_start=t0, **kwb)
         return (_int_cotangent(t0), dq, dk, dv, jnp.zeros_like(M))
 
     f.defvjp(fwd, bwd)
     sel, O = f(_as_t0(t_start), Q, K_cmp, V_cmp, M)
     return (sel, O[:, :, :, :h]) if Q.shape[3] != h else (sel, O)
+
+
+def _bwd_impl():
+    return flash_banded_bwd_onepass if tuned("bwd.onepass", 1) else flash_banded_bwd
 
 
 def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
@@ -137,7 +145,7 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
 
         def bwdv(res, g):
             t0, ds, Q, K, V, O, lse = res
-            dq, dk, dv = flash_banded_bwd(Q, K, V, g, lse, _delta(g, O),
+            dq, dk, dv = _bwd_impl()(Q, K, V, g, lse, _delta(g, O),
                                           t_start=t0, seq_start=ds, **kwb)
             return (_int_cotangent(t0), _int_cotangent(ds), dq, dk, dv)
 
@@ -154,7 +162,7 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
 
     def bwd(res, g):
         t0, Q, K, V, O, lse = res
-        dq, dk, dv = flash_banded_bwd(Q, K, V, g, lse, _delta(g, O),
+        dq, dk, dv = _bwd_impl()(Q, K, V, g, lse, _delta(g, O),
                                       t_start=t0, **kwb)
         return (_int_cotangent(t0), dq, dk, dv)
 
@@ -179,8 +187,10 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
 
     def bwd(res, g):
         sel_idx, t0, Q, K, V, O, lse = res
-        dq, dk, dv = selection_flash_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O),
-                                         pos_offset=t0, **kwb)
+        sel_bwd = (selection_flash_bwd_onepass if tuned("bwd.onepass", 1)
+                   else selection_flash_bwd)
+        dq, dk, dv = sel_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O),
+                             pos_offset=t0, **kwb)
         return (_int_cotangent(sel_idx), _int_cotangent(t0), dq, dk, dv)
 
     f.defvjp(fwd, bwd)

@@ -236,6 +236,255 @@ def _dkv_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _onepass_bwd_kernel(
+    t0_ref, *refs,
+    mode, w, l, d, scale, block_q, block_k, h, nq_grid, nq_total, s, s_kv,
+    varlen=False,
+):
+    """ONE-pass flash backward: kv-major grid (b, g, ki, qt). P/dS are
+    computed ONCE per (kv-tile, q-tile) pair and feed all three products
+    (the two-pass dq+dkv backward recomputes the QK matmul, masking and
+    exp twice — measured ~2.3x the forward's cost end-to-end; this kernel
+    does ~1.4x):
+      dV[ki] += P^T dO        (VMEM scratch, resident per kv tile)
+      dK[ki] += dS^T Q
+      dQ[qt] += dS K          (per-q-tile slot in a [nq*rows, Dk] scratch,
+                               written through to HBM every step — the
+                               final store of each slot lands after its
+                               last contribution; earlier partial stores
+                               are benignly overwritten)
+    """
+    if varlen:
+        (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dsrow_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+        del ds_tile_ref
+    else:
+        dsrow_ref = None
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+    ki = pl.program_id(2)
+    qi_rel = pl.program_id(3)
+    bounds = _bounds_fn(mode, w, l, d)
+    t0 = t0_ref[0]
+    rows = block_q * h
+    nslots = dq_scr.shape[0] // rows
+
+    @pl.when(qi_rel == 0)
+    def _init_dkv():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    k0 = ki * block_k
+    qt_lo, n_live = _inverse_q_bounds(mode, w, l, d, k0, block_k, block_q, s, t0)
+    qt = qt_lo + jnp.minimum(qi_rel, jnp.maximum(n_live - 1, 0))
+    qt = jnp.clip(qt, 0, nq_total - 1)
+    # ring slot: only the in-flight q-tiles live in scratch. A tile's
+    # FIRST visiting kv tile is closed-form, so its slot is initialized
+    # (overwritten) there instead of pre-zeroing the whole scratch.
+    slot0 = (qt % nslots) * rows
+    if mode == "win":
+        first_ki = jnp.maximum(t0 + qt * block_q - w + 1, 0) // block_k
+    else:
+        first_ki = jnp.zeros_like(qt)   # cmp: every visited tile starts at ki=0
+                                        # (requires l - 1 <= block_q * <any>;
+                                        # guarded in the entry point)
+    first_visit = ki == first_ki
+
+    @pl.when(qi_rel < n_live)
+    def _compute():
+        q = q_ref[0, :, 0]                                # [Tq, h, Dk]
+        Dk = q.shape[2]
+        srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        rowv = srow < s
+        q_z = jnp.where(rowv[:, :, None], q, 0)
+        qf = q_z.reshape(rows, Dk)
+        krow = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)
+        logits = jax.lax.dot_general(
+            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        tposf = t0 + qt * block_q + flat // h
+        ds_r = None
+        if varlen:
+            lane = dsrow_ref[0, 0, :].reshape(1, rows)
+            ds_r = jax.lax.transpose(lane, (1, 0))
+        lo_r, hi_r = bounds(tposf, ds_r)
+        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
+        logits = logits + (maskf - 1.0) * 1e30
+        rowvf = (qt * block_q + flat // h) < s
+        lse = jnp.where(rowvf, _load_stats(lse_ref, qt * rows, rows), EMPTY_LSE)
+        p = jnp.exp(logits - lse)                         # [rows, Tk]
+
+        do = do_ref[0, :, 0]
+        Dv = do.shape[2]
+        dof = jnp.where(rowv[:, :, None], do, 0).reshape(rows, Dv)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        v = jnp.where(krow < s_kv, v_ref[0, 0], 0)
+        dpv = jax.lax.dot_general(
+            dof, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jnp.where(rowvf, _load_stats(delta_ref, qt * rows, rows),
+                          jnp.float32(0.0))
+        ds = (p * (dpv - delta)).astype(q.dtype)
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds, qf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        slot = pl.dslice(slot0, rows)
+        contrib = scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        prev = jnp.where(first_visit, 0.0, dq_scr[slot, :])
+        dq_scr[slot, :] = prev + contrib
+
+    # write-through the CURRENT q-tile's dq slot every step (clamped qt on
+    # dead steps rewrites an existing slot's partial sum — harmless).
+    # Dead steps whose slot would alias an UNINITIALIZED tile are masked
+    # by first_visit semantics: a clamped qt equals a live tile of this
+    # ki, whose slot is valid.
+    Dk_o = dq_ref.shape[4]
+    dq_ref[0, :, 0] = dq_scr[pl.dslice(slot0, rows), :].reshape(
+        block_q, h, Dk_o).astype(dq_ref.dtype)
+
+    @pl.when(qi_rel == nq_grid - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k", "interpret"),
+)
+def flash_banded_bwd_onepass(
+    Q, K, V, dO, lse, delta,
+    *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=512,
+    interpret=False, t_start=None, seq_start=None,
+):
+    """One-pass backward (see _onepass_bwd_kernel). Same contract as
+    flash_banded_bwd. The dq scratch is [nslots*rows, Dk] f32 — sequences
+    longer than q_chunk are processed per chunk (dK/dV summed across
+    chunks) so it stays a few MB.
+
+    Precondition: every query row's visible keys exist, i.e. S_kv covers
+    positions up to t_start + S (win) / num_cmp(t_start + S) (cmp) — true
+    for every framework call site (the KV stream always covers the query
+    positions). A q-tile whose band lies wholly beyond S_kv would never
+    be visited by the kv-major grid and its dq block would stay
+    unwritten."""
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands, stats_rows as _sr
+
+    B, S, G, h, Dk = Q.shape
+    S_kv, Dv = K.shape[2], V.shape[3]
+
+    q_chunk = 2048
+    if S > q_chunk and S % q_chunk == 0:
+        dqs = []
+        dk_total = jnp.zeros(K.shape, jnp.float32)
+        dv_total = jnp.zeros(V.shape, jnp.float32)
+        t0_base = _as_t0(t_start)
+        for i in range(S // q_chunk):
+            sl = slice(i * q_chunk, (i + 1) * q_chunk)
+            slh = slice(i * q_chunk * h, i * q_chunk * h + _sr(q_chunk, h))
+            dq_i, dk_i, dv_i = flash_banded_bwd_onepass(
+                Q[:, sl], K, V, dO[:, sl], lse[:, :, slh], delta[:, :, slh],
+                mode=mode, w=w, l=l, d=d, scale=scale, block_q=block_q,
+                block_k=block_k, interpret=interpret,
+                t_start=t0_base + i * q_chunk,
+                seq_start=None if seq_start is None else seq_start[:, sl],
+            )
+            dqs.append(dq_i)
+            dk_total = dk_total + dk_i.astype(jnp.float32)
+            dv_total = dv_total + dv_i.astype(jnp.float32)
+        return (jnp.concatenate(dqs, axis=1), dk_total.astype(K.dtype),
+                dv_total.astype(V.dtype))
+    block_q = min(block_q, max(S, 8))
+    block_k = min(block_k, max(S_kv, 8))
+    nq = pl.cdiv(S, block_q)
+    nk_total = pl.cdiv(S_kv, block_k)
+    t0 = _as_t0(t_start)
+    varlen = seq_start is not None
+    if varlen:
+        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq, h)
+
+    if mode == "win":
+        nq_inner = min(pl.cdiv(block_k + w - 1, block_q) + 1, nq)
+        nslots = min(nq_inner + 1, nq)   # in-flight q-tiles per kv tile
+    else:
+        nq_inner = nq
+        nslots = nq                      # prefix mode: all tiles in flight
+        if l - 1 >= block_q:             # would break first_ki == 0 (cmp)
+            return flash_banded_bwd(
+                Q, K, V, dO, lse, delta, mode=mode, w=w, l=l, d=d, scale=scale,
+                block_q=block_q, block_k=block_k, interpret=interpret,
+                t_start=t_start, seq_start=seq_start)
+
+    def q_index(b, g, ki, qi, t0_ref, *more):
+        k0 = ki * block_k
+        qt_lo, n_live = _inverse_q_bounds(
+            mode, w, l, d, k0, block_k, block_q, S, t0_ref[0])
+        qt = qt_lo + jnp.minimum(qi, jnp.maximum(n_live - 1, 0))
+        return jnp.clip(qt, 0, nq - 1)
+
+    rows = block_q * h
+    q_spec = pl.BlockSpec((1, block_q, 1, h, Dk),
+                          lambda b, g, ki, qi, *sr: (b, q_index(b, g, ki, qi, *sr), g, 0, 0),
+                          memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((1, block_q, 1, h, Dv),
+                           lambda b, g, ki, qi, *sr: (b, q_index(b, g, ki, qi, *sr), g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, ki, qi, *_: (b * G + g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        q_spec,
+        pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Dv), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                     memory_space=pltpu.VMEM),
+        do_spec, stat_spec, stat_spec,
+    ]
+    if varlen:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, rows),
+            lambda b, g, ki, qi, *sr: (b, 0, q_index(b, g, ki, qi, *sr)),
+            memory_space=pltpu.VMEM))
+    out_specs = [
+        pl.BlockSpec((1, block_q, 1, h, Dk),
+                     lambda b, g, ki, qi, *sr: (b, q_index(b, g, ki, qi, *sr), g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Dk), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, Dv), lambda b, g, ki, qi, *_: (b, g, ki, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_onepass_bwd_kernel, mode=mode, w=w, l=l, d=d,
+                          scale=scale, block_q=block_q, block_k=block_k, h=h,
+                          nq_grid=nq_inner, nq_total=nq, s=S, s_kv=S_kv,
+                          varlen=varlen),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if varlen else 1,
+            grid=(B, G, nk_total, nq_inner),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((nslots * rows, Dk), jnp.float32),
+                pltpu.VMEM((block_k, Dk), jnp.float32),
+                pltpu.VMEM((block_k, Dv), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(Q.shape, Q.dtype),
+            jax.ShapeDtypeStruct(K.shape, K.dtype),
+            jax.ShapeDtypeStruct(V.shape, V.dtype),
+        ],
+        interpret=interpret,
+    )(*([t0, ds_tile] if varlen else [t0]), Q, K, V, dO, lse, delta,
+      *([ds_row] if varlen else []))
+    return dq, dk, dv
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k", "interpret"),

@@ -603,3 +603,215 @@ def selection_flash_bwd(
         dk = dk[:, :, :S_kv]
         dv = dv[:, :, :S_kv]
     return dq, dk, dv
+
+
+# ----------------------- one-pass backward -----------------------
+
+
+def _sel_onepass_bwd_kernel(
+    orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref,
+    lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
+    *, l_sel, scale, block_q, h, NQ, KB, s_kv, s,
+):
+    """kv-major ONE-pass backward: P/dS computed once per
+    (kv-tile-group, q-tile) pair feed dV/dK (resident scratch) AND dQ
+    (per-q-tile slot scratch, written through each step). Halves the
+    QK+mask+exp recompute of the separate dq+dkv kernels (cf.
+    flash_bwd._onepass_bwd_kernel)."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    jg = pl.program_id(2)
+    qi = pl.program_id(3)
+    rows = block_q * h
+
+    @pl.when((jg == 0) & (qi == 0))
+    def _init_dq():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    cnt = countq_ref[b, g, jg]
+    qt = orderq_ref[b, g, jg, jnp.minimum(qi, jnp.maximum(cnt - 1, 0))]
+
+    @pl.when(qi < cnt)
+    def _compute():
+        q = q_ref[0, :, 0]
+        Dk = q.shape[2]
+        srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+        rowv = srow < s
+        q_z = jnp.where(rowv[:, :, None], q, 0)
+        qf = q_z.reshape(rows, Dk)
+        krow = (jg * KB * l_sel
+                + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
+        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)
+        logits = jax.lax.dot_general(
+            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        sel_q = sel_ref[0, 0]
+        tpos = t0_ref[0] + srow
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+        subs = []
+        for i in range(KB):
+            blk_i = jg * KB + i
+            member = jnp.any(sel_q == blk_i, axis=-1)
+            kpos = blk_i * l_sel + kiota
+            subs.append((member[:, None] & (kpos <= tpos)).astype(jnp.float32))
+        maskf = jnp.concatenate(subs, axis=-1)
+        maskf = jnp.broadcast_to(
+            maskf[:, None, :], (block_q, h, KB * l_sel)).reshape(rows, KB * l_sel)
+        logits = logits + (maskf - 1.0) * 1e30
+        flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        rowvf = (qt * block_q + flat // h) < s
+        lse = jnp.where(rowvf, _load_stats(lse_ref, qt * rows, rows), 1e30)
+        p = jnp.exp(logits - lse)
+
+        do = do_ref[0, :, 0]
+        Dv = do.shape[2]
+        dof = jnp.where(rowv[:, :, None], do, 0).reshape(rows, Dv)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vf = jnp.where(krow < s_kv, v_ref[0, 0], 0)
+        dpv = jax.lax.dot_general(
+            dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        delta = jnp.where(rowvf, _load_stats(delta_ref, qt * rows, rows),
+                          jnp.float32(0.0))
+        ds = (p * (dpv - delta)).astype(q.dtype)
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds, qf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dq_scr[pl.dslice(qt * rows, rows), :] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    # write-through the current q-tile's dq slot (final store lands after
+    # its last contribution; every q-tile is active in >= 1 kv group)
+    Dk_o = dq_ref.shape[4]
+    dq_ref[0, :, 0] = dq_scr[pl.dslice(qt * rows, rows), :].reshape(
+        block_q, h, Dk_o).astype(dq_ref.dtype)
+
+    @pl.when(qi == NQ - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l_sel", "scale", "block_q", "kv_batch", "interpret",
+                     "q_chunk"),
+)
+def selection_flash_bwd_onepass(
+    Q, K, V, sel_idx, dO, lse, delta,
+    *, l_sel, scale, pos_offset=0, block_q=128, kv_batch=8, interpret=False,
+    q_chunk=2048,
+):
+    """One-pass variant of selection_flash_bwd (same contract). The dq
+    scratch holds ALL q-tiles of a chunk ([S*h, Dk] f32), so the default
+    q_chunk is 2048 (3 MB at m7c shapes)."""
+    B, S, G, h, Dk = Q.shape
+    S_kv, Dv = K.shape[2], V.shape[3]
+    n = sel_idx.shape[-1]
+
+    if S > q_chunk and S % q_chunk == 0:
+        nchunk = S // q_chunk
+        dqs = []
+        dk_total = jnp.zeros(K.shape, jnp.float32)
+        dv_total = jnp.zeros(V.shape, jnp.float32)
+        for i in range(nchunk):
+            sl = slice(i * q_chunk, (i + 1) * q_chunk)
+            slh = slice(i * q_chunk * h, i * q_chunk * h + stats_rows(q_chunk, h))
+            dq_i, dk_i, dv_i = selection_flash_bwd_onepass(
+                Q[:, sl], K, V, sel_idx[:, sl], dO[:, sl],
+                lse[:, :, slh], delta[:, :, slh],
+                l_sel=l_sel, scale=scale, pos_offset=pos_offset + i * q_chunk,
+                block_q=block_q, kv_batch=kv_batch, interpret=interpret,
+                q_chunk=q_chunk,
+            )
+            dqs.append(dq_i)
+            dk_total = dk_total + dk_i.astype(jnp.float32)
+            dv_total = dv_total + dv_i.astype(jnp.float32)
+        return (jnp.concatenate(dqs, axis=1), dk_total.astype(K.dtype),
+                dv_total.astype(V.dtype))
+
+    block_q = min(block_q, max(S, 8))
+    nq = pl.cdiv(S, block_q)
+    J = pl.cdiv(S_kv, l_sel)
+    KB = max(1, min(kv_batch, J))
+    Jg = pl.cdiv(J, KB)
+    ta = _tile_active(sel_idx, nq, block_q, J)
+    pad_j = Jg * KB - J
+    ta_g = ta if pad_j == 0 else jnp.pad(ta, ((0, 0), (0, 0), (0, 0), (0, pad_j)))
+    ta_g = ta_g.reshape(*ta.shape[:2], nq, Jg, KB).any(-1)
+    order_q, count_q = _compact_active(ta_g.transpose(0, 1, 3, 2))  # [B,G,Jg,nq]
+
+    sel_t = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)
+
+    KV_pad = Jg * KB * l_sel
+    if KV_pad != S_kv:
+        K_p = jnp.pad(K, ((0, 0), (0, 0), (0, KV_pad - S_kv), (0, 0)))
+        V_p = jnp.pad(V, ((0, 0), (0, 0), (0, KV_pad - S_kv), (0, 0)))
+    else:
+        K_p, V_p = K, V
+    t0 = _as_t0(pos_offset)
+    rows = block_q * h
+
+    def q_index(b, g, jg, qi, oq, cq, t0r):
+        return oq[b, g, jg, jnp.minimum(qi, jnp.maximum(cq[b, g, jg] - 1, 0))]
+
+    stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, jg, qi, *_: (b * G + g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_sel_onepass_bwd_kernel, l_sel=l_sel, scale=scale,
+                          block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv, s=S),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, G, Jg, nq),
+            in_specs=[
+                pl.BlockSpec((1, block_q, 1, h, Dk),
+                             lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q, n),
+                             lambda b, g, jg, qi, oq, cq, t0r: (b, g, q_index(b, g, jg, qi, oq, cq, t0r), 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, KB * l_sel, Dk),
+                             lambda b, g, jg, qi, *_: (b, g, jg, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, KB * l_sel, Dv),
+                             lambda b, g, jg, qi, *_: (b, g, jg, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1, h, Dv),
+                             lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                stat_spec, stat_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, 1, h, Dk),
+                             lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, KB * l_sel, Dk),
+                             lambda b, g, jg, qi, *_: (b, g, jg, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, KB * l_sel, Dv),
+                             lambda b, g, jg, qi, *_: (b, g, jg, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nq * rows, Dk), jnp.float32),
+                pltpu.VMEM((KB * l_sel, Dk), jnp.float32),
+                pltpu.VMEM((KB * l_sel, Dv), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(Q.shape, Q.dtype),
+            jax.ShapeDtypeStruct(K_p.shape, K.dtype),
+            jax.ShapeDtypeStruct(V_p.shape, V.dtype),
+        ],
+        interpret=interpret,
+    )(order_q, count_q, t0, Q, sel_t, K_p, V_p, dO, lse, delta)
+    if KV_pad != S_kv:
+        dk = dk[:, :, :S_kv]
+        dv = dv[:, :, :S_kv]
+    return dq, dk, dv

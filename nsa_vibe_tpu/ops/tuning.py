@@ -36,6 +36,10 @@ DEFAULTS = {
     # toks/s at 128 (r2 bisect), opposite of the standalone cmp backward
     "cmp.fused_bwd_block_q": 128,
     "cmp.fused_bwd_block_k": 512,
+    # one-pass fused backward (flash_bwd.flash_banded_bwd_onepass): P/dS
+    # computed once per tile pair feeding dQ/dK/dV (vs the two-pass
+    # dq+dkv kernels recomputing QK+mask+exp twice)
+    "bwd.onepass": 1,
 }
 
 _TUNING_PATH = os.environ.get(

@@ -125,3 +125,79 @@ def test_win_backward_bf16_tolerance():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                    atol=0.05, rtol=0.02)
+
+
+def test_onepass_backward_matches_twopass():
+    """One-pass (kv-major, ring dq scratch) backward == two-pass dq+dkv
+    kernels, across modes / offsets / varlen / tile sizes incl ring wrap."""
+    from nsa_vibe_tpu.ops.pallas.flash import flash_banded, stats_rows
+    from nsa_vibe_tpu.ops.pallas.flash_bwd import (
+        flash_banded_bwd,
+        flash_banded_bwd_onepass,
+    )
+
+    def check(mode, kw, S=96, S_kv=None, t0=None, ds=None, bq=16, bk=16):
+        B, G, h, Dk = 2, 2, 2, 32
+        S_kv = S_kv if S_kv is not None else S
+        Q = jax.random.normal(jax.random.PRNGKey(0), (B, S, G, h, Dk))
+        K = jax.random.normal(jax.random.PRNGKey(1), (B, G, S_kv, Dk))
+        V = jax.random.normal(jax.random.PRNGKey(2), (B, G, S_kv, Dk))
+        dO = jax.random.normal(jax.random.PRNGKey(3), (B, S, G, h, Dk))
+        O, lse = flash_banded(Q, K, V, mode=mode, scale=0.2, return_lse=True,
+                              interpret=True, t_start=t0, seq_start=ds, **kw)
+        d0 = jnp.sum(dO * O, axis=-1)
+        flat = d0.transpose(0, 2, 1, 3).reshape(B * G, 1, S * h)
+        pad = stats_rows(S, h) - S * h
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
+        args = (Q, K, V, dO, lse, flat)
+        kw2 = dict(mode=mode, scale=0.2, interpret=True, t_start=t0,
+                   seq_start=ds, block_q=bq, block_k=bk, **kw)
+        for x, y in zip(flash_banded_bwd(*args, **kw2),
+                        flash_banded_bwd_onepass(*args, **kw2)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+    check("win", dict(w=16))
+    check("win", dict(w=48), bq=8, bk=16)   # ring wraps (nslots < nq)
+    check("cmp", dict(l=8, d=4), S_kv=(96 - 8) // 4 + 1)
+    check("win", dict(w=16), t0=jnp.asarray([32], jnp.int32), S_kv=128)
+    ds = jnp.zeros((2, 96), jnp.int32).at[:, 48:].set(48)
+    check("win", dict(w=16), ds=ds)
+    check("cmp", dict(l=8, d=4), S_kv=(96 - 8) // 4 + 1, ds=ds)
+    check("cmp", dict(l=32, d=4), S_kv=(96 - 32) // 4 + 1, bq=16)  # fallback path
+
+
+def test_sel_onepass_backward_matches_twopass():
+    from nsa_vibe_tpu.ops.pallas.flash import stats_rows
+    from nsa_vibe_tpu.ops.pallas.sel_flash import (
+        selection_flash_bwd,
+        selection_flash_bwd_onepass,
+        selection_flash_pallas,
+    )
+    from nsa_vibe_tpu.ops.selection import select_topn_blocks
+
+    B, S, G, h, Dk, l_sel, n = 2, 96, 2, 2, 32, 16, 4
+    Q = jax.random.normal(jax.random.PRNGKey(0), (B, S, G, h, Dk))
+    K = jax.random.normal(jax.random.PRNGKey(1), (B, G, S, Dk))
+    V = jax.random.normal(jax.random.PRNGKey(2), (B, G, S, Dk))
+    dO = jax.random.normal(jax.random.PRNGKey(3), (B, S, G, h, Dk))
+    sel = select_topn_blocks(
+        jax.random.uniform(jax.random.PRNGKey(4), (B, S, G, S // l_sel)),
+        n, jnp.arange(S, dtype=jnp.int32), l_sel)
+    for bq, kb, off in ((16, 2, 0), (32, 3, 0), (16, 2, 32)):
+        Sq = S - off
+        O, lse = selection_flash_pallas(
+            Q[:, off:], K, V, sel[:, off:], l_sel=l_sel, scale=0.2,
+            pos_offset=off, return_lse=True, interpret=True, block_q=bq,
+            kv_batch=kb)
+        d0 = jnp.sum(dO[:, off:] * O, axis=-1)
+        flat = d0.transpose(0, 2, 1, 3).reshape(B * G, 1, Sq * h)
+        pad = stats_rows(Sq, h) - Sq * h
+        if pad:
+            flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
+        args = (Q[:, off:], K, V, sel[:, off:], dO[:, off:], lse, flat)
+        kw = dict(l_sel=l_sel, scale=0.2, pos_offset=off, block_q=bq,
+                  kv_batch=kb, interpret=True)
+        for x, y in zip(selection_flash_bwd(*args, **kw),
+                        selection_flash_bwd_onepass(*args, **kw)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
