@@ -187,7 +187,8 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
 
     def bwd(res, g):
         sel_idx, t0, Q, K, V, O, lse = res
-        sel_bwd = (selection_flash_bwd_onepass if tuned("bwd.onepass", 1)
+        sel_bwd = (selection_flash_bwd_onepass
+                   if tuned("sel.bwd_onepass", tuned("bwd.onepass", 1))
                    else selection_flash_bwd)
         dq, dk, dv = sel_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O),
                              pos_offset=t0, **kwb)
