@@ -115,9 +115,18 @@ def main() -> None:
     winners["sel.block_q"], winners["sel.kv_batch"] = b[0]
 
     if args.bwd:
+        from nsa_vibe_tpu.ops.attention import _bwd_impl
         from nsa_vibe_tpu.ops.pallas.flash import flash_banded
-        from nsa_vibe_tpu.ops.pallas.flash_bwd import flash_banded_bwd
-        from nsa_vibe_tpu.ops.pallas.sel_flash import selection_flash_bwd
+        from nsa_vibe_tpu.ops.pallas.sel_flash import (
+            selection_flash_bwd,
+            selection_flash_bwd_onepass,
+        )
+        from nsa_vibe_tpu.ops.tuning import tuned
+
+        flash_banded_bwd = _bwd_impl()          # sweep the ACTIVE impl
+        sel_bwd = (selection_flash_bwd_onepass
+                   if tuned("sel.bwd_onepass", tuned("bwd.onepass", 1))
+                   else selection_flash_bwd)
 
         def bwd_fn(mode, kw, bq, bk):
             def run(q):
@@ -148,7 +157,7 @@ def main() -> None:
             def run(q):
                 O = selection_flash_pallas(q, K, V, sel, l_sel=l_sel, scale=0.125)
                 z = jnp.zeros((B * 2, 1, stats_rows(args.S, 6)), jnp.float32)
-                dq, dk, dv = selection_flash_bwd(
+                dq, dk, dv = sel_bwd(
                     q, K, V, sel, O, z + 1.0, z, l_sel=l_sel, scale=0.125,
                     block_q=bq, kv_batch=kb)
                 return dq + (jnp.sum(dk.astype(jnp.float32))

@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--remat", nargs="?", const=True, default=False,
                 help="full block remat; --remat mlp = MLP-only")
     ap.add_argument("--kernel", default="auto")
+    ap.add_argument("--no-stats", dest="no_stats", action="store_true",
+                    help="disable per-step gate/selection stats collection")
     args = ap.parse_args()
 
     from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig, TrainConfig
@@ -43,7 +45,8 @@ def main() -> None:
                     l=32, d=16, l_sel=64, n_sel=16, w=512, kernel=args.kernel)
     mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=nsa,
                        dtype="bfloat16", remat=args.remat)
-    tcfg = TrainConfig(steps=args.steps, batch_size=args.batch, seq_len=args.seq)
+    tcfg = TrainConfig(steps=args.steps, batch_size=args.batch, seq_len=args.seq,
+                       gate_stats=not args.no_stats)
 
     params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.bfloat16)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))

@@ -118,6 +118,10 @@ class TrainConfig:
     # varlen/document-masked packed batching (ops.varlen): batches carry
     # (tokens, seq_start, loss_mask); no attention crosses doc boundaries
     varlen: bool = False
+    # collect per-step gate/selection observability stats (gate entropy,
+    # collapse fraction, k-stats). Costs the stacked [L,B,S,G,*] aux
+    # arrays every step; set False for maximum-throughput runs
+    gate_stats: bool = True
 
 
 def mesh_axes() -> tuple[str, ...]:

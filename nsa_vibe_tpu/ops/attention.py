@@ -175,6 +175,7 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
               kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
     kwb = dict(kw, block_q=tuned("sel.bwd_block_q", 128),
                kv_batch=tuned("sel.bwd_kv_batch", kw["kv_batch"]))
+    kwb_chunk = tuned("sel.bwd_q_chunk", 0)
 
     @jax.custom_vjp
     def f(sel_idx, t0, Q, K, V):
@@ -190,8 +191,9 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
         sel_bwd = (selection_flash_bwd_onepass
                    if tuned("sel.bwd_onepass", tuned("bwd.onepass", 1))
                    else selection_flash_bwd)
+        extra = {"q_chunk": kwb_chunk} if kwb_chunk else {}
         dq, dk, dv = sel_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O),
-                             pos_offset=t0, **kwb)
+                             pos_offset=t0, **kwb, **extra)
         return (_int_cotangent(sel_idx), _int_cotangent(t0), dq, dk, dv)
 
     f.defvjp(fwd, bwd)

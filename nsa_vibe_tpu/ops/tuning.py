@@ -40,7 +40,8 @@ DEFAULTS = {
     # computed once per tile pair feeding dQ/dK/dV (vs the two-pass
     # dq+dkv kernels recomputing QK+mask+exp twice)
     "bwd.onepass": 1,
-    "sel.bwd_onepass": 1,   # selection backward can opt out independently
+    "sel.bwd_onepass": 1,
+    "sel.bwd_q_chunk": 0,   # 0 = kernel default   # selection backward can opt out independently
 }
 
 _TUNING_PATH = os.environ.get(

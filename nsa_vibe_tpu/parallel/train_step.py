@@ -64,29 +64,38 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     if tcfg.varlen and use_cp:
         raise NotImplementedError("varlen + context parallelism not supported yet")
 
+    collect = tcfg.gate_stats
+
     def loss_fn(params, tok_row):
         if tcfg.varlen:
             # tok_row = (tokens [B,S+1], seq_start [B,S], loss_mask [B,S])
             toks, seq_start, loss_mask = tok_row
             logits, auxes = model_forward(params, toks[:, :-1], mcfg,
-                                          collect_aux=True, seq_start=seq_start)
+                                          collect_aux=collect, seq_start=seq_start)
             loss = cross_entropy_loss(logits, toks[:, 1:], mask=loss_mask)
+            if not collect:
+                return loss, None
             gates = jnp.stack([a["gates"] for a in auxes])
             sel = jnp.stack([a["sel_idx"] for a in auxes])
             return loss, (gates.astype(jnp.float32), sel)
         if use_cp:
             from nsa_vibe_tpu.parallel.context import context_parallel_model_forward
 
-            logits, (gates, sel) = context_parallel_model_forward(
+            r = context_parallel_model_forward(
                 params, tok_row[:, :-1], mcfg, mesh,
                 batch_axis="dp" if mesh.shape["dp"] > 1 else None,
-                collect_aux=True,
+                collect_aux=collect,
             )
+            logits, (gates, sel) = r if collect else (r, (None, None))
         else:
-            logits, auxes = model_forward(params, tok_row[:, :-1], mcfg, collect_aux=True)
-            gates = jnp.stack([a["gates"] for a in auxes])   # [L,B,S,G,3]
-            sel = jnp.stack([a["sel_idx"] for a in auxes])   # [L,B,S,G,n]
+            logits, auxes = model_forward(params, tok_row[:, :-1], mcfg,
+                                          collect_aux=collect)
+            if collect:
+                gates = jnp.stack([a["gates"] for a in auxes])   # [L,B,S,G,3]
+                sel = jnp.stack([a["sel_idx"] for a in auxes])   # [L,B,S,G,n]
         loss = cross_entropy_loss(logits, tok_row[:, 1:])
+        if not collect:
+            return loss, None
         return loss, (gates.astype(jnp.float32), sel)
 
     def micro(carry, tok_row):
