@@ -78,6 +78,10 @@ def main() -> None:
         "batch": args.batch, "seq": args.seq, "remat": args.remat,
         "kernel": args.kernel,
         "step_ms": round(dt * 1e3, 2),
+        # BASELINE.md north star: selected-nnz/s — selection-branch
+        # key-value pairs attended per second (n_sel*l_sel per token row
+        # per layer, the NSA sparse-read bound)
+        "selected_nnz_per_s": round(toks * nsa.n_sel * nsa.l_sel * args.layers, 0),
         "compile_s": round(compile_s, 1),
         "loss": round(float(metrics["loss"]), 4),
         "vs_baseline": round(toks / 23100.0, 3),

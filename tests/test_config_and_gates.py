@@ -78,19 +78,30 @@ def test_gate_stats_detect_collapse():
     assert float(stats["max_gate_mean"]) > 0.9
 
 
-def test_resolve_kernel_odd_heads_per_group(monkeypatch):
-    """Mosaic cannot merge [Tq, h, Dk] q-tiles for odd h > 1 (v5e:
-    h=3 fails the shape cast; h=1/2/4/6 compile). `auto` must fall back
-    to the XLA reference path and explicit `pallas` must refuse."""
+def test_resolve_kernel_any_heads_per_group(monkeypatch):
+    """Since r2, ANY heads-per-group runs on the Pallas path: odd h > 1
+    (which Mosaic cannot shape-cast) is handled by zero-padding the head
+    axis at dispatch (ops.attention._pad_odd_heads) — matching the
+    reference's any-H kernels (triton_sel_kernel/sel_fwd.py:453-456)."""
     from nsa_vibe_tpu.ops import attention
 
     monkeypatch.setattr(attention, "_on_tpu", lambda: True)
-    assert attention.resolve_kernel("auto", 3)[0] == "reference"
-    assert attention.resolve_kernel("auto", 2)[0] == "pallas"
-    assert attention.resolve_kernel("auto", 1)[0] == "pallas"
-    assert attention.resolve_kernel("auto", 6)[0] == "pallas"
-    with pytest.raises(ValueError, match="odd heads-per-group"):
-        attention.resolve_kernel("pallas", 5)
-    # off-TPU: interpret-mode pallas is fine for any h (jnp semantics)
+    for h in (1, 2, 3, 5, 6):
+        assert attention.resolve_kernel("auto", h)[0] == "pallas"
+        assert attention.resolve_kernel("pallas", h) == ("pallas", False)
+    assert attention.resolve_kernel("reference", 3)[0] == "reference"
+    # off-TPU: pallas means interpret mode
     monkeypatch.setattr(attention, "_on_tpu", lambda: False)
     assert attention.resolve_kernel("pallas", 3) == ("pallas", True)
+    assert attention.resolve_kernel("auto", 2)[0] == "reference"
+
+
+def test_pad_odd_heads_shapes():
+    from nsa_vibe_tpu.ops.attention import _pad_odd_heads
+
+    q3 = jnp.zeros((1, 8, 2, 3, 16))
+    qp, h = _pad_odd_heads(q3)
+    assert h == 3 and qp.shape[3] == 4
+    q6 = jnp.zeros((1, 8, 2, 6, 16))
+    qp, h = _pad_odd_heads(q6)
+    assert h == 6 and qp.shape[3] == 6
