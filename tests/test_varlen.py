@@ -110,3 +110,20 @@ def test_make_varlen_batches_synthetic():
     assert toks.shape == (2, 65) and ds.shape == (2, 64) and lm.shape == (2, 64)
     assert (ds % 16 == 0).all()
     assert lm.sum() > 0
+
+
+def test_varlen_with_context_parallel_rejected():
+    """varlen + sequence parallelism is an explicit NotImplementedError
+    (doc-local positions under shard_map need per-shard seq_start
+    plumbing — fail loudly rather than silently ignore the mask)."""
+    from nsa_vibe_tpu.core.config import ModelConfig, TrainConfig
+    from nsa_vibe_tpu.parallel.train_step import make_train_step
+
+    mcfg = ModelConfig(vocab_size=256, n_layers=1, nsa=CFG)
+    tcfg = TrainConfig(varlen=True, sp=2)
+
+    class _FakeMesh:
+        shape = {"dp": 1, "sp": 2, "tp": 1}
+
+    with pytest.raises(NotImplementedError):
+        make_train_step(mcfg, tcfg, mesh=_FakeMesh())
