@@ -26,6 +26,16 @@ document start — then carries the whole varlen contract:
 Because alignment makes every per-document window/block grid coincide
 with the packed grid, each packed document behaves EXACTLY as if it were
 alone in its own row (tests assert this equality).
+
+One measured caveat: the MASKS are exact (perturbing document A moves
+document B's win/sel outputs by exactly 0.0), but the cmp branch's
+pooled K/V come from ops.compress's O(S) cumsum trick, where a window
+inside document B is `cumsum[hi] - cumsum[lo]` and both terms carry
+document A's mass. The cancellation is exact in real arithmetic but
+~1 ulp in f32, so cross-document influence through the cmp branch is
+bounded by pooling round-off (~1e-6 on f32 logits at toy scale) —
+rounding noise, not attention leakage. A segmented scan would make it
+exact at extra cost; not worth it.
 """
 
 from __future__ import annotations

@@ -109,25 +109,46 @@ def nsa_attention_cp_local(
     params: dict, x_local: jnp.ndarray, cfg: NSAConfig, axis: str,
     S: int, S_cmp: int, S_sel: int, M: jnp.ndarray,
     impl: str, interpret: bool, collect_aux: bool = False,
+    seq_start_full=None,
 ) -> jnp.ndarray:
     """Sequence-sharded NSA attention body — runs INSIDE shard_map.
     x_local: this shard's [B, S/sp, dim] slice; returns the local output
     slice (or (out, {gates, sel_idx}) with collect_aux — per-shard rows,
     for gate/selection observability). Composable into larger shard_map
-    programs (model_forward_cp)."""
+    programs (model_forward_cp).
+
+    seq_start_full [B, S] (REPLICATED over the sp axis): per-token
+    document starts for varlen batching — the shard slices its own rows'
+    ds for query-side masks/RoPE and uses the full array for ϕ-pooling
+    positions (pooled windows span shard boundaries). Document starts
+    are l_sel-aligned so selection blocks never straddle documents."""
     G, h = cfg.n_kv_groups, cfg.h_per_group
     scale = 1.0 / float(np.sqrt(cfg.d_k))
-    S_local = x_local.shape[1]
+    B, S_local = x_local.shape[0], x_local.shape[1]
     t0 = jax.lax.axis_index(axis).astype(jnp.int32) * S_local
     t_pos = t0 + jnp.arange(S_local, dtype=jnp.int32)
+    varlen = seq_start_full is not None
+    if varlen:
+        seq_start_full = seq_start_full.astype(jnp.int32)
+        ds_local = jax.lax.dynamic_slice_in_dim(seq_start_full, t0, S_local, 1)
+        t_loc = t_pos[None, :] - ds_local                  # [B, S_local]
+        rope_q_pos = t_loc[:, :, None]
+        rope_k_pos = t_loc[:, None, :]
+        pool_pos = (jnp.arange(S, dtype=jnp.int32)[None, :]
+                    - seq_start_full)[:, None, :]          # [B, 1, S]
+    else:
+        ds_local = None
+        rope_q_pos = t_pos[:, None]
+        rope_k_pos = t_pos
+        pool_pos = jnp.arange(S, dtype=jnp.int32)
 
     Q, K_sel, V_sel, K_win, V_win, K_cmp_raw, V_cmp_raw = project_qkv(
         params, x_local, cfg
     )
-    Q = apply_rope(Q, t_pos[:, None], cfg.rope_base, cfg.rope_scale)
-    Q = Q.reshape(x_local.shape[0], S_local, G, h, cfg.d_k)
-    K_sel = apply_rope(K_sel, t_pos, cfg.rope_base, cfg.rope_scale)
-    K_win = apply_rope(K_win, t_pos, cfg.rope_base, cfg.rope_scale)
+    Q = apply_rope(Q, rope_q_pos, cfg.rope_base, cfg.rope_scale)
+    Q = Q.reshape(B, S_local, G, h, cfg.d_k)
+    K_sel = apply_rope(K_sel, rope_k_pos, cfg.rope_base, cfg.rope_scale)
+    K_win = apply_rope(K_win, rope_k_pos, cfg.rope_base, cfg.rope_scale)
 
     # K/V all-gather over ICI (bwd: reduce_scatter)
     def gather(a):
@@ -142,7 +163,7 @@ def nsa_attention_cp_local(
     # shard is O(S·D) — negligible next to attention)
     K_cmp, V_cmp = pool_phi_rope_kv(
         K_raw_f, V_raw_f, cfg.l, cfg.d,
-        pos=jnp.arange(S, dtype=jnp.int32),
+        pos=pool_pos,
         k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
         rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
     )
@@ -151,7 +172,18 @@ def nsa_attention_cp_local(
     from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
 
     O_cmp = None
-    if impl == "pallas" and scorer_fits_vmem(h, S_sel):
+    if varlen:
+        from nsa_vibe_tpu.ops.varlen import (
+            select_topn_blocks_varlen,
+            selection_scores_varlen,
+        )
+
+        p_grp = selection_scores_varlen(
+            Q, K_cmp, M, scale, t_pos, ds_local, cfg.l, cfg.d)
+        sel_idx = select_topn_blocks_varlen(
+            p_grp, cfg.n_sel, t_pos, ds_local, cfg.l_sel,
+            cfg.force_init, cfg.force_local)
+    elif impl == "pallas" and scorer_fits_vmem(h, S_sel):
         # fused pass: selection block ids + the cmp branch output
         sel_idx, O_cmp = attn_ops.fused_select_cmp(
             Q, K_cmp, V_cmp, M, scale=scale, l=cfg.l, d=cfg.d,
@@ -168,15 +200,15 @@ def nsa_attention_cp_local(
     if O_cmp is None:
         O_cmp = attn_ops.compressed_attention(
             Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
-            t_start=t0,
+            t_start=t0, seq_start=ds_local, t_pos=t_pos,
         )
     O_sel = attn_ops.selection_attention(
         Q, K_sel_f, V_sel_f, sel_idx, t_pos, cfg.l_sel, scale,
-        kernel=cfg.kernel, pos_offset=t0,
+        kernel=cfg.kernel, pos_offset=t0, seq_start=ds_local,
     )
     O_win = attn_ops.sliding_window_attention(
         Q, K_win_f, V_win_f, t_pos, cfg.w, scale, kernel=cfg.kernel,
-        t_start=t0,
+        t_start=t0, seq_start=ds_local,
     )
     out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
     if collect_aux:
@@ -195,6 +227,7 @@ def context_parallel_model_forward(
     axis: str = "sp",
     batch_axis: Optional[str] = None,
     collect_aux: bool = False,
+    seq_start: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """TinyLM forward with every layer's attention sequence-sharded over
     `axis`. tokens: [B, S] int32 -> logits [B, S, vocab] (sharded over
@@ -220,7 +253,7 @@ def context_parallel_model_forward(
     impl, interpret = resolve_kernel(cfg.kernel, cfg.h_per_group)
     dtype = jnp.dtype(mcfg.dtype)
 
-    def local_fn(params, tok_local):
+    def local_fn(params, tok_local, ds_full):
         x = params["embed"][tok_local].astype(dtype)
 
         # remat contract mirrors tinylm/llama_block: True/"full" checkpoints
@@ -233,7 +266,7 @@ def context_parallel_model_forward(
             h = rmsnorm(x, bp["attn_norm"], mcfg.rmsnorm_eps)
             a = nsa_attention_cp_local(
                 bp["attn"], h, cfg, axis, S, S_cmp, meta.S_sel, M, impl,
-                interpret, collect_aux=collect_aux,
+                interpret, collect_aux=collect_aux, seq_start_full=ds_full,
             )
             a, aux = a if collect_aux else (a, None)
             x = x + a
@@ -255,19 +288,30 @@ def context_parallel_model_forward(
         return logits
 
     spec = P(batch_axis, axis)
+    # seq_start rides in REPLICATED over sp (each shard needs the full-S
+    # document starts for pooling positions), sharded over dp on batch
+    ds_spec = P(batch_axis, None)
+    if seq_start is None:
+        # a dummy replicated operand keeps ONE shard_map signature; the
+        # local fn ignores it when varlen is off
+        seq_start = jnp.zeros((0, 0), jnp.int32)
+        ds_spec = P(None, None)
+        inner = lambda p, t, _: local_fn(p, t, None)   # noqa: E731
+    else:
+        inner = local_fn
     logits_spec = P(batch_axis, axis, None)
     if collect_aux:
         aux_spec = P(None, batch_axis, axis, None, None)
         logits, gates, sel = shard_map(
-            local_fn, mesh=mesh,
-            in_specs=(P(), spec),
+            inner, mesh=mesh,
+            in_specs=(P(), spec, ds_spec),
             out_specs=(logits_spec, aux_spec, aux_spec),
             check_rep=False,
-        )(params, tokens)
+        )(params, tokens, seq_start)
         return logits, (gates, sel)
     return shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(P(), spec),
+        inner, mesh=mesh,
+        in_specs=(P(), spec, ds_spec),
         out_specs=logits_spec,
         check_rep=False,
-    )(params, tokens)
+    )(params, tokens, seq_start)

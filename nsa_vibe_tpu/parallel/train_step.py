@@ -61,8 +61,6 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     """
     optimizer = make_optimizer(tcfg)
     use_cp = mesh is not None and tcfg.sp > 1
-    if tcfg.varlen and use_cp:
-        raise NotImplementedError("varlen + context parallelism not supported yet")
 
     collect = tcfg.gate_stats
 
@@ -70,6 +68,19 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
         if tcfg.varlen:
             # tok_row = (tokens [B,S+1], seq_start [B,S], loss_mask [B,S])
             toks, seq_start, loss_mask = tok_row
+            if use_cp:
+                from nsa_vibe_tpu.parallel.context import (
+                    context_parallel_model_forward,
+                )
+
+                r = context_parallel_model_forward(
+                    params, toks[:, :-1], mcfg, mesh,
+                    batch_axis="dp" if mesh.shape["dp"] > 1 else None,
+                    collect_aux=collect, seq_start=seq_start,
+                )
+                logits, aux = (r if collect else (r, None))
+                loss = cross_entropy_loss(logits, toks[:, 1:], mask=loss_mask)
+                return loss, aux
             logits, auxes = model_forward(params, toks[:, :-1], mcfg,
                                           collect_aux=collect, seq_start=seq_start)
             loss = cross_entropy_loss(logits, toks[:, 1:], mask=loss_mask)

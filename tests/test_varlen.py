@@ -112,18 +112,60 @@ def test_make_varlen_batches_synthetic():
     assert lm.sum() > 0
 
 
-def test_varlen_with_context_parallel_rejected():
-    """varlen + sequence parallelism is an explicit NotImplementedError
-    (doc-local positions under shard_map need per-shard seq_start
-    plumbing — fail loudly rather than silently ignore the mask)."""
+def test_varlen_context_parallel_forward_matches_single_device():
+    """varlen + sequence parallelism: the CP model forward with document
+    masking must equal the single-device varlen forward (doc-local RoPE
+    and masks survive sequence sharding; runs on the 8-virtual-device
+    CPU mesh)."""
+    import numpy as np
+
+    from nsa_vibe_tpu.core.config import ModelConfig
+    from nsa_vibe_tpu.models.tinylm import init_model_params, model_forward
+    from nsa_vibe_tpu.parallel.context import context_parallel_model_forward
+    from nsa_vibe_tpu.parallel.mesh import make_mesh
+
+    mcfg = ModelConfig(vocab_size=256, n_layers=2, nsa=CFG, dtype="float32")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, (2, S)), jnp.int32)
+    ds = jnp.broadcast_to(jnp.asarray(DS_ROW, jnp.int32)[None, :], (2, S))
+    mesh = make_mesh(sp=4, devices=jax.devices()[:4])
+    want, _ = jax.jit(
+        lambda p, t, d: model_forward(p, t, mcfg, seq_start=d)
+    )(params, tokens, ds)
+    got = jax.jit(
+        lambda p, t, d: context_parallel_model_forward(
+            p, t, mcfg, mesh, seq_start=d)
+    )(params, tokens, ds)
+    mae = float(jnp.abs(got - want).mean())
+    assert mae < 2e-5, f"varlen cp model fwd MAE {mae}"
+
+
+def test_varlen_cp_train_step_loss_matches():
+    """A varlen dp-only step and a varlen dp x sp step compute the same
+    masked loss and gate stats."""
+    import numpy as np
+
     from nsa_vibe_tpu.core.config import ModelConfig, TrainConfig
-    from nsa_vibe_tpu.parallel.train_step import make_train_step
+    from nsa_vibe_tpu.models.tinylm import init_model_params
+    from nsa_vibe_tpu.parallel.mesh import make_mesh
+    from nsa_vibe_tpu.parallel.train_step import build_state_and_step
 
-    mcfg = ModelConfig(vocab_size=256, n_layers=1, nsa=CFG)
-    tcfg = TrainConfig(varlen=True, sp=2)
-
-    class _FakeMesh:
-        shape = {"dp": 1, "sp": 2, "tp": 1}
-
-    with pytest.raises(NotImplementedError):
-        make_train_step(mcfg, tcfg, mesh=_FakeMesh())
+    mcfg = ModelConfig(vocab_size=256, n_layers=1, nsa=CFG, dtype="float32")
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, 256, (1, 2, S + 1)), jnp.int32)
+    ds = jnp.broadcast_to(jnp.asarray(DS_ROW, jnp.int32)[None, None, :],
+                          (1, 2, S)).astype(jnp.int32)
+    lm = jnp.asarray((rng.random((1, 2, S)) > 0.2).astype(np.float32))
+    losses = []
+    for sp in (1, 4):
+        params = init_model_params(jax.random.PRNGKey(0), mcfg)
+        tcfg = TrainConfig(steps=2, batch_size=2, seq_len=S, sp=sp, varlen=True)
+        mesh = make_mesh(dp=2, sp=sp, devices=jax.devices()[:2 * sp])
+        step_fn, state, batch_shard = build_state_and_step(params, mcfg, tcfg, mesh)
+        batch = jax.device_put((toks, ds, lm), batch_shard)
+        state, m1 = step_fn(state, batch)
+        state, m2 = step_fn(state, batch)
+        losses.append((float(m1["loss"]), float(m2["loss"]),
+                       float(m1["gate_entropy"]), float(m1["sel_k_mean"])))
+    assert np.allclose(losses[0], losses[1], rtol=2e-4), losses
