@@ -30,6 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(np.finfo(np.float32).min)
+LOG2E = 1.4426950408889634  # softmax runs base-2 (exp2): exp(x) lowers as
+# exp2(x*log2e), so folding log2e into the existing scale multiply saves
+# one full-tile VPU multiply per exp. lse residuals are stored base-2;
+# each backward consumes them with exp2 (self-consistent pairs only).
 
 # Row stats (lse/delta) are stored FLAT as [B*G, 1, stats_rows(S, h)] f32.
 # A [B, G, S*h, 1] layout tiles the trailing 1 up to 128 lanes — a 128x
@@ -69,6 +73,16 @@ def _bounds_fn(mode: str, w: int, l: int, d: int):
     else:
         raise ValueError(mode)
     return bounds
+
+
+def _band_select(logits, lo_r, hi_r, kpos):
+    """Band masking as ONE select: masked lanes -> -1e30 exactly. Cheaper
+    than the additive `logits + (maskf-1)*1e30` chain (compare,compare,
+    and,select vs compare,compare,and,astype,sub,mul,add — 3 fewer
+    full-tile VPU ops) and bit-identical: in-band lanes keep logits
+    untouched, out-of-band lanes become -1e30 (the additive form also
+    rounds to exactly -1e30 since |logits| << ulp(1e30))."""
+    return jnp.where((kpos >= lo_r) & (kpos < hi_r), logits, -1e30)
 
 
 def _flash_kernel(
@@ -117,16 +131,17 @@ def _flash_kernel(
         Tq, Dk = q.shape[0], q.shape[2]
         qf = q.reshape(Tq * h, Dk)                        # rows t-major, head-minor
         kt = kt_lo + ki
-        # zero OOB-padded K rows BEFORE the matmul: padding memory can be
-        # NaN/garbage, and additive masking cannot remove a NaN logit
+        # zero OOB-padded K rows BEFORE the matmul (padding memory can be
+        # NaN/garbage) — statically skipped when every kv tile is full
         krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)        # [Tk, Dk]
+        k = k_ref[0, 0] if s_kv % block_k == 0 else (
+            jnp.where(krow < s_kv, k_ref[0, 0], 0))       # [Tk, Dk]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                         # [Tq*h, Tk]
+        ) * (scale * LOG2E)                               # [Tq*h, Tk] (base-2)
 
-        # FLAT additive masking: bounds computed per flat row (t = t_first
+        # FLAT band masking: bounds computed per flat row (t = t_first
         # + row//h) directly on the [Tq*h, Tk] logits. The compact-[Tq,Tk]
         # mask + reshape/broadcast-add costs ~1.1 ms/call at m7c shapes
         # (r2 ablation: 4.79 -> 3.66 ms) — the head-interleaving reshape
@@ -139,18 +154,18 @@ def _flash_kernel(
             lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
             ds_r = jax.lax.transpose(lane, (1, 0))        # [rows,1] row-expanded
         lo_r, hi_r = bounds(tposf, ds_r)                  # [rows,1]
-        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
-        logits = logits + (maskf - 1.0) * 1e30            # 0 in-band, -1e30 out
+        logits = _band_select(logits, lo_r, hi_r, kpos)
 
         m_prev = m_scr[:]                                 # [h*Tq, 1]
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         # floor the running max so fully-masked rows give
         # exp(-1e30 - (-1e20)) == 0 exactly (not exp(0) == 1)
         m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e20)
-        p = jnp.exp(logits - m_new)                       # masked -> exactly 0
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(logits - m_new)                      # masked -> exactly 0
+        alpha = jnp.exp2(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
-        v = jnp.where(krow < s_kv, v_ref[0, 0], 0)        # [Tk, Dv]
+        v = v_ref[0, 0] if s_kv % block_k == 0 else (
+            jnp.where(krow < s_kv, v_ref[0, 0], 0))       # [Tk, Dv]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -168,7 +183,9 @@ def _flash_kernel(
         o_ref[0, :, 0] = out.reshape(Tq, h, Dv).astype(o_ref.dtype)
         if return_lse:
             # empty rows get +1e30 so backward's exp(logits - lse) == 0
-            lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
+            # base-2 lse (consumed by the exp2 backward kernels)
+            lse = jnp.where(denom > 0,
+                            m_scr[:] + jnp.log2(jnp.maximum(denom, 1e-38)),
                             1e30)
             # store into this group's flat [1, rows_total] stats block:
             # transpose the [rows,1] sublane vector to lanes, dynamic lane

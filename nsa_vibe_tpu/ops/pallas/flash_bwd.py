@@ -30,7 +30,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import _bounds_fn, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _band_select, _bounds_fn, stats_rows
 
 
 def _load_stats(ref, row0, rows):
@@ -84,13 +84,14 @@ def _dq_kernel(
         Dk = q.shape[2]
         qf = q.reshape(block_q * h, Dk)
         kt = kt_lo + ki
-        # zero OOB K rows BEFORE the matmul (additive masking cannot
-        # remove a NaN logit from garbage padding memory)
+        # zero OOB K rows (garbage padding memory) — statically skipped
+        # when every kv tile is full
         krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)        # [Tk, Dk]
+        k = k_ref[0, 0] if s_kv % block_k == 0 else (
+            jnp.where(krow < s_kv, k_ref[0, 0], 0))       # [Tk, Dk]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         # flat additive masking on [rows, Tk] (see flash._flash_kernel —
         # the compact-mask head-broadcast reshape is a costly relayout)
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
@@ -101,11 +102,10 @@ def _dq_kernel(
             lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
             ds_r = jax.lax.transpose(lane, (1, 0))        # [rows,1]
         lo_r, hi_r = bounds(tposf, ds_r)
-        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
-        logits = logits + (maskf - 1.0) * 1e30
+        logits = _band_select(logits, lo_r, hi_r, kpos)
         lse = _load_stats(lse_ref, qi * block_q * h,
                           block_q * h)                    # [rows,1]
-        p = jnp.exp(logits - lse)                         # masked -> exactly 0
+        p = jnp.exp2(logits - lse)                         # masked -> exactly 0
                                                           # (empty rows: lse=+1e30)
 
         do = do_ref[0, :, 0]
@@ -114,7 +114,8 @@ def _dq_kernel(
         # MXU runs at native rate; accumulation is f32 via
         # preferred_element_type (fp32 operands cost several MXU passes)
         dof = do.reshape(block_q * h, Dv)
-        v = jnp.where(krow < s_kv, v_ref[0, 0], 0)
+        v = v_ref[0, 0] if s_kv % block_k == 0 else (
+            jnp.where(krow < s_kv, v_ref[0, 0], 0))
         dpv = jax.lax.dot_general(
             dof, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )                                                  # [rows, Tk]
@@ -182,14 +183,17 @@ def _dkv_kernel(
         Dk = q.shape[2]
         srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         rowv = srow < s                                   # [Tq,1] valid q rows
-        # zero OOB q/dO rows and sanitize their lse/delta: a garbage row
-        # would contaminate entire dK/dV *columns* through the matmuls
-        q = jnp.where(rowv[:, :, None], q, 0)
+        # zero OOB q/dO rows and sanitize their lse/delta (a garbage row
+        # contaminates entire dK/dV *columns* through the matmuls) —
+        # statically skipped when every q tile is full
+        full_q = s % block_q == 0
+        if not full_q:
+            q = jnp.where(rowv[:, :, None], q, 0)
         qf = q.reshape(block_q * h, Dk)
         k = k_ref[0, 0]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         # flat additive masking on [rows, Tk] (see flash._flash_kernel)
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
@@ -199,31 +203,33 @@ def _dkv_kernel(
             lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
             ds_r = jax.lax.transpose(lane, (1, 0))        # [rows,1]
         lo_r, hi_r = bounds(tposf, ds_r)
-        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
-        logits = logits + (maskf - 1.0) * 1e30
+        logits = _band_select(logits, lo_r, hi_r, kpos)
         rowvf = (qt * block_q + flat // h) < s            # [rows,1] bool
         lse_raw = _load_stats(lse_ref, qt * block_q * h,
                               block_q * h)
-        lse = jnp.where(rowvf, lse_raw, EMPTY_LSE)
-        p = jnp.exp(logits - lse)                         # [rows, Tk]
+        lse = lse_raw if full_q else jnp.where(rowvf, lse_raw, EMPTY_LSE)
+        p = jnp.exp2(logits - lse)                         # [rows, Tk]
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
         # bf16 matmul operands, f32 accumulate (see _dq_kernel note)
-        dof = jnp.where(rowv[:, :, None], do, 0).reshape(block_q * h, Dv)
+        if not full_q:
+            do = jnp.where(rowv[:, :, None], do, 0)
+        dof = do.reshape(block_q * h, Dv)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                                  # [Tk, Dv]
         v = v_ref[0, 0]
         krow = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        vf = jnp.where(krow < s_kv, v, 0)
+        vf = v if s_kv % block_k == 0 else jnp.where(krow < s_kv, v, 0)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         delta_raw = _load_stats(delta_ref, qt * block_q * h,
                                 block_q * h)
-        delta = jnp.where(rowvf, delta_raw, jnp.float32(0.0))
+        delta = delta_raw if full_q else (
+            jnp.where(rowvf, delta_raw, jnp.float32(0.0)))
         ds = p * (dpv - delta)
         dk_scr[:] += scale * jax.lax.dot_general(
             ds.astype(q.dtype), qf, (((0,), (0,)), ((), ())),
@@ -296,13 +302,15 @@ def _onepass_bwd_kernel(
         Dk = q.shape[2]
         srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         rowv = srow < s
-        q_z = jnp.where(rowv[:, :, None], q, 0)
+        full_q = s % block_q == 0
+        q_z = q if full_q else jnp.where(rowv[:, :, None], q, 0)
         qf = q_z.reshape(rows, Dk)
         krow = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)
+        k = k_ref[0, 0] if s_kv % block_k == 0 else (
+            jnp.where(krow < s_kv, k_ref[0, 0], 0))
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         tposf = t0 + qt * block_q + flat // h
@@ -311,23 +319,27 @@ def _onepass_bwd_kernel(
             lane = dsrow_ref[0, 0, :].reshape(1, rows)
             ds_r = jax.lax.transpose(lane, (1, 0))
         lo_r, hi_r = bounds(tposf, ds_r)
-        maskf = ((kpos >= lo_r) & (kpos < hi_r)).astype(jnp.float32)
-        logits = logits + (maskf - 1.0) * 1e30
+        logits = _band_select(logits, lo_r, hi_r, kpos)
         rowvf = (qt * block_q + flat // h) < s
-        lse = jnp.where(rowvf, _load_stats(lse_ref, qt * rows, rows), EMPTY_LSE)
-        p = jnp.exp(logits - lse)                         # [rows, Tk]
+        lse_raw = _load_stats(lse_ref, qt * rows, rows)
+        lse = lse_raw if full_q else jnp.where(rowvf, lse_raw, EMPTY_LSE)
+        p = jnp.exp2(logits - lse)                         # [rows, Tk]
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
-        dof = jnp.where(rowv[:, :, None], do, 0).reshape(rows, Dv)
+        if not full_q:
+            do = jnp.where(rowv[:, :, None], do, 0)
+        dof = do.reshape(rows, Dv)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        v = jnp.where(krow < s_kv, v_ref[0, 0], 0)
+        v = v_ref[0, 0] if s_kv % block_k == 0 else (
+            jnp.where(krow < s_kv, v_ref[0, 0], 0))
         dpv = jax.lax.dot_general(
             dof, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        delta = jnp.where(rowvf, _load_stats(delta_ref, qt * rows, rows),
-                          jnp.float32(0.0))
+        delta_raw = _load_stats(delta_ref, qt * rows, rows)
+        delta = delta_raw if full_q else (
+            jnp.where(rowvf, delta_raw, jnp.float32(0.0)))
         ds = (p * (dpv - delta)).astype(q.dtype)
         dk_scr[:] += scale * jax.lax.dot_general(
             ds, qf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)

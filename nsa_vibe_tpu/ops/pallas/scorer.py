@@ -32,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import _as_t0, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, stats_rows
 
 NEG = float(np.finfo(np.float32).min)
 
@@ -73,15 +73,15 @@ def _scorer_kernel(
     k = kc_ref[0, 0]                                                  # [C, Dk]
     logits = jax.lax.dot_general(
         qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                                         # [rows, C]
+    ) * (scale * LOG2E)                                               # [rows, C] (base-2)
     cidx = (c * cmp_chunk
             + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
     visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]
     logits = jnp.where(visible, logits, NEG)
     m_run = m_scr[:]
     m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
-    p = jnp.where(visible, jnp.exp(logits - m_new), 0.0)
-    alpha = jnp.exp(m_run - m_new)
+    p = jnp.where(visible, jnp.exp2(logits - m_new), 0.0)
+    alpha = jnp.exp2(m_run - m_new)
     l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
     mc = m_ref[:]                                                     # [C, S_sel]
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -265,15 +265,15 @@ def _select_cmp_kernel(
     k = kc_ref[0, 0]                                                  # [C, Dk]
     logits = jax.lax.dot_general(
         qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                                         # [rows, C]
+    ) * (scale * LOG2E)                                               # [rows, C] (base-2)
     cidx = (c * cmp_chunk
             + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
     visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]
     logits = jnp.where(visible, logits, NEG)
     m_run = m_scr[:]
     m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
-    p = jnp.where(visible, jnp.exp(logits - m_new), 0.0)
-    alpha = jnp.exp(m_run - m_new)
+    p = jnp.where(visible, jnp.exp2(logits - m_new), 0.0)
+    alpha = jnp.exp2(m_run - m_new)
     l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
     mc = m_ref[:]                                                     # [C, S_sel]
     acc_slc[:] = acc_slc[:] * alpha + jax.lax.dot_general(
@@ -293,7 +293,9 @@ def _select_cmp_kernel(
         out = jnp.where(denom > 0, out, 0.0)
         Dv = o_cmp_ref.shape[4]
         o_cmp_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_cmp_ref.dtype)
-        lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
+        # base-2 lse (consumed by the exp2 flash backward kernels)
+        lse = jnp.where(denom > 0,
+                        m_scr[:] + jnp.log2(jnp.maximum(denom, 1e-38)),
                         1e30)
         # flat per-(b,g) stats store (see flash.stats_rows — the g dim
         # lives in the BlockSpec; dynamic sublane stores are unaligned)

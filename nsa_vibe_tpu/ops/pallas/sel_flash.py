@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import _as_t0, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, stats_rows
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -107,7 +107,7 @@ def _sel_flash_kernel(
         logits = jax.lax.dot_general(
             qf, jnp.concatenate(ks, axis=0),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale                                          # [Tq*h, KB*l_sel]
+        ) * (scale * LOG2E)                                # [Tq*h, KB*l_sel] (base-2)
         maskf = jnp.concatenate(subs, axis=-1)             # [Tq, KB*l_sel]
         maskf = jnp.broadcast_to(
             maskf[:, None, :], (block_q, h, KB * l_sel)
@@ -124,8 +124,8 @@ def _sel_flash_kernel(
         # exp(0)=1 garbage into l/acc; with the floor, masked -> exactly 0
         m_new = jnp.maximum(
             jnp.maximum(m_prev, jnp.max(logits, axis=-1, keepdims=True)), -1e20)
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp2(logits - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
         v = jnp.concatenate(vs, axis=0)                    # [KB*l_sel, Dv]
         pv = jax.lax.dot_general(
@@ -143,7 +143,9 @@ def _sel_flash_kernel(
         Dv = o_ref.shape[4]
         o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
         if return_lse:
-            lse = jnp.where(denom > 0, m_scr[:] + jnp.log(jnp.maximum(denom, 1e-38)),
+            # base-2 lse (consumed by the exp2 backward kernels)
+            lse = jnp.where(denom > 0,
+                            m_scr[:] + jnp.log2(jnp.maximum(denom, 1e-38)),
                             1e30)
             # flat per-(b,g) stats store (see flash.stats_rows)
             rows = block_q * h
@@ -337,13 +339,13 @@ def _sel_dq_kernel(
 
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         # lse is finite for live rows (every row selects block 0) and
         # +1e30 for empty rows, so masked entries underflow to exactly 0
         # without a post-multiply
         logits = logits + (maskf - 1.0) * 1e30
         lse = _load_stats(lse_ref, qt * block_q * h, block_q * h)
-        p = jnp.exp(logits - lse)
+        p = jnp.exp2(logits - lse)
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
@@ -403,7 +405,7 @@ def _sel_dkv_kernel(
         k = jnp.where(krow < s_kv, k_ref[0, 0], 0)         # [KB*l_sel, Dk]
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         sel_q = sel_ref[0, 0]
         tpos = t0_ref[0] + srow
         kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
@@ -422,7 +424,7 @@ def _sel_dkv_kernel(
         rowvf = (qt * block_q + flat // h) < s
         lse_raw = _load_stats(lse_ref, qt * block_q * h, block_q * h)
         lse = jnp.where(rowvf, lse_raw, 1e30)
-        p = jnp.exp(logits - lse)
+        p = jnp.exp2(logits - lse)
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
@@ -649,7 +651,7 @@ def _sel_onepass_bwd_kernel(
         k = jnp.where(krow < s_kv, k_ref[0, 0], 0)
         logits = jax.lax.dot_general(
             qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * LOG2E)
         sel_q = sel_ref[0, 0]
         tpos = t0_ref[0] + srow
         kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
@@ -666,7 +668,7 @@ def _sel_onepass_bwd_kernel(
         flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         rowvf = (qt * block_q + flat // h) < s
         lse = jnp.where(rowvf, _load_stats(lse_ref, qt * rows, rows), 1e30)
-        p = jnp.exp(logits - lse)
+        p = jnp.exp2(logits - lse)
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
