@@ -163,14 +163,33 @@ def nsa_decode_step(
     from nsa_vibe_tpu.ops.attention import resolve_kernel
 
     impl, interpret = resolve_kernel(cfg.kernel)
-    O_sel, sel_valid = _gathered_selection_attention(
-        Q[:, 0], k_sel, v_sel, sel_idx[:, 0], t, cfg.l_sel, scale,
-        use_kernel=(impl == "pallas" and not interpret),
-    )
-    win_valid = (jnp.arange(cfg.w, dtype=jnp.int32) <= t) | (t >= cfg.w)
-    O_win = _masked_single_query_attention(Q[:, 0], k_win, v_win, win_valid, scale)
-    cmp_valid = jnp.arange(C_cmp, dtype=jnp.int32) < num_cmp
-    O_cmp = _masked_single_query_attention(Q[:, 0], k_cmp, v_cmp, cmp_valid, scale)
+    # force_branch skips the OTHER branches at TRACE time (their gate is
+    # exactly 0, so zeros are algebraically identical): per-branch decode
+    # benches measure REAL isolation, not three-branches-plus-a-mask (the
+    # reference isolates branches the same way, bench/bench_decode.py:
+    # 149-214). Unforced runs trace all three as before.
+    fb = cfg.force_branch.strip().lower() if cfg.force_branch else None
+    O_zero = jnp.zeros((B, G, cfg.h_per_group, cfg.d_v), Q.dtype)
+    if fb in (None, "sel"):
+        O_sel, sel_valid = _gathered_selection_attention(
+            Q[:, 0], k_sel, v_sel, sel_idx[:, 0], t, cfg.l_sel, scale,
+            use_kernel=(impl == "pallas" and not interpret),
+        )
+    else:
+        O_sel = O_zero
+        sel_valid = jnp.zeros((B, G, cfg.n_sel * cfg.l_sel), jnp.bool_)
+    if fb in (None, "win"):
+        win_valid = (jnp.arange(cfg.w, dtype=jnp.int32) <= t) | (t >= cfg.w)
+        O_win = _masked_single_query_attention(Q[:, 0], k_win, v_win,
+                                               win_valid, scale)
+    else:
+        O_win = O_zero
+    if fb in (None, "cmp"):
+        cmp_valid = jnp.arange(C_cmp, dtype=jnp.int32) < num_cmp
+        O_cmp = _masked_single_query_attention(Q[:, 0], k_cmp, v_cmp,
+                                               cmp_valid, scale)
+    else:
+        O_cmp = O_zero
 
     out, gates = combine_branches(
         params, cfg, Q, O_cmp[:, None], O_sel[:, None], O_win[:, None]

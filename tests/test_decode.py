@@ -138,6 +138,21 @@ def test_decode_window_ring_wraps():
     )
 
 
+@pytest.mark.parametrize("branch", ["cmp", "sel", "win"])
+def test_decode_forced_branch_parity(setup, branch):
+    """force_branch skips the other two branches at trace time
+    (core/decode.py); the output must still equal the forced prefill
+    oracle, which computes all three and multiplies by the one-hot gate."""
+    params, x = setup
+    cfg = CFG.replace(force_branch=branch)
+    S = 32
+    dec_out, _, _ = _decode_all(params, x[:, :S], cfg, 64)
+    pre_out, _ = nsa_prefill(params, x[:, :S], cfg)
+    np.testing.assert_allclose(
+        np.asarray(dec_out), np.asarray(pre_out), atol=2e-5, rtol=1e-4
+    )
+
+
 def test_decode_overflow_flag(setup):
     """Stepping past cache capacity must be detectable in-graph
     (info.overflow); within capacity the flag stays False."""
