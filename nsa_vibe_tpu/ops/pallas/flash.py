@@ -85,11 +85,25 @@ def _band_select(logits, lo_r, hi_r, kpos):
     return jnp.where((kpos >= lo_r) & (kpos < hi_r), logits, -1e30)
 
 
+def _q_scale_fold(qf, c: float, scale_on_q: bool):
+    """Fold the softmax scale (incl. LOG2E) into the [rows, Dk] Q operand
+    — a Dk-lane VPU multiply — instead of the [rows, block_k] logits (a
+    full-tile multiply, block_k/Dk x more elements). Returns
+    (q_operand, logits_multiplier); the multiplier is 1.0 (statically
+    elided at the call site) when folded. Not bit-identical: scaling
+    before the matmul rounds Q once per element (~2^-53 f32 / 2^-8 bf16
+    relative), within every kernel's existing bf16 tolerance."""
+    if scale_on_q:
+        return (qf * jnp.asarray(c, qf.dtype)).astype(qf.dtype), 1.0
+    return qf, c
+
+
 def _flash_kernel(
     t0_ref, *refs,
     mode: str, w: int, l: int, d: int, scale: float,
     block_q: int, block_k: int, h: int, nk_grid: int, s_kv: int,
     return_lse: bool = False, varlen: bool = False,
+    scale_on_q: bool = True, fastpath: bool = True,
 ):
     if varlen:
         ds_tile_ref, q_ref, k_ref, v_ref, dsrow_ref, o_ref, *rest = refs
@@ -130,48 +144,80 @@ def _flash_kernel(
         q = q_ref[0, :, 0]                                # [Tq, h, Dk]
         Tq, Dk = q.shape[0], q.shape[2]
         qf = q.reshape(Tq * h, Dk)                        # rows t-major, head-minor
+        qs, post = _q_scale_fold(qf, scale * LOG2E, scale_on_q)
         kt = kt_lo + ki
-        # zero OOB-padded K rows BEFORE the matmul (padding memory can be
-        # NaN/garbage) — statically skipped when every kv tile is full
-        krow = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        k = k_ref[0, 0] if s_kv % block_k == 0 else (
-            jnp.where(krow < s_kv, k_ref[0, 0], 0))       # [Tk, Dk]
-        logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * LOG2E)                               # [Tq*h, Tk] (base-2)
 
-        # FLAT band masking: bounds computed per flat row (t = t_first
-        # + row//h) directly on the [Tq*h, Tk] logits. The compact-[Tq,Tk]
-        # mask + reshape/broadcast-add costs ~1.1 ms/call at m7c shapes
-        # (r2 ablation: 4.79 -> 3.66 ms) — the head-interleaving reshape
-        # is a Mosaic relayout; flat iota compares are near-free.
-        kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        rowi = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
-        tposf = t_first + rowi // h                       # [rows,1]
-        ds_r = None
-        if varlen:
-            lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
-            ds_r = jax.lax.transpose(lane, (1, 0))        # [rows,1] row-expanded
-        lo_r, hi_r = bounds(tposf, ds_r)                  # [rows,1]
-        logits = _band_select(logits, lo_r, hi_r, kpos)
+        def _accum(k, v, mask):
+            logits = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                             # [Tq*h, Tk] (base-2)
+            if post != 1.0:
+                logits = logits * post
+            if mask is not None:
+                logits = mask(logits)
+            m_prev = m_scr[:]                             # [h*Tq, 1]
+            m_cur = jnp.max(logits, axis=-1, keepdims=True)
+            # floor the running max so fully-masked rows give
+            # exp(-1e30 - (-1e20)) == 0 exactly (not exp(0) == 1)
+            m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e20)
+            p = jnp.exp2(logits - m_new)                  # masked -> exactly 0
+            alpha = jnp.exp2(m_prev - m_new)
+            l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scr[:] = acc_scr[:] * alpha + pv
+            m_scr[:] = m_new
 
-        m_prev = m_scr[:]                                 # [h*Tq, 1]
-        m_cur = jnp.max(logits, axis=-1, keepdims=True)
-        # floor the running max so fully-masked rows give
-        # exp(-1e30 - (-1e20)) == 0 exactly (not exp(0) == 1)
-        m_new = jnp.maximum(jnp.maximum(m_prev, m_cur), -1e20)
-        p = jnp.exp2(logits - m_new)                      # masked -> exactly 0
-        alpha = jnp.exp2(m_prev - m_new)
-        l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
-        v = v_ref[0, 0] if s_kv % block_k == 0 else (
-            jnp.where(krow < s_kv, v_ref[0, 0], 0))       # [Tk, Dv]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scr[:] = acc_scr[:] * alpha + pv
-        m_scr[:] = m_new
+        def _slow():
+            # zero OOB-padded K/V rows BEFORE the matmul (padding memory
+            # can be NaN/garbage) — statically skipped when every kv tile
+            # is full
+            krow = kt * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_k, 1), 0)
+            k = k_ref[0, 0] if s_kv % block_k == 0 else (
+                jnp.where(krow < s_kv, k_ref[0, 0], 0))   # [Tk, Dk]
+            v = v_ref[0, 0] if s_kv % block_k == 0 else (
+                jnp.where(krow < s_kv, v_ref[0, 0], 0))   # [Tk, Dv]
+            # FLAT band masking: bounds computed per flat row (t = t_first
+            # + row//h) directly on the [Tq*h, Tk] logits. The compact-
+            # [Tq,Tk] mask + reshape/broadcast-add costs ~1.1 ms/call at
+            # m7c shapes (r2 ablation: 4.79 -> 3.66 ms) — the head-
+            # interleaving reshape is a Mosaic relayout; flat iota
+            # compares are near-free.
+            kpos = kt * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (1, block_k), 1)
+            rowi = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
+            tposf = t_first + rowi // h                   # [rows,1]
+            ds_r = None
+            if varlen:
+                lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
+                ds_r = jax.lax.transpose(lane, (1, 0))    # [rows,1] row-expanded
+            lo_r, hi_r = bounds(tposf, ds_r)              # [rows,1]
+            _accum(k, v, lambda lg: _band_select(lg, lo_r, hi_r, kpos))
+
+        if fastpath:
+            # fully-live fast path: when every row of this q-tile sees
+            # every key of this kv tile (lo/hi are monotone in t, so the
+            # extreme rows bound the tile), the band select and OOB
+            # zeroing are no-ops — skip their full-tile VPU ops. Interior
+            # tiles of the win band and the whole cmp prefix body hit
+            # this branch; bit-identical to the slow path.
+            lo_last, _ = bounds(t_last, ds_last)
+            _, hi_first = bounds(t_first, ds_first)
+            full = (kt * block_k >= lo_last) & ((kt + 1) * block_k <= hi_first)
+
+            @pl.when(full)
+            def _fast():
+                _accum(k_ref[0, 0], v_ref[0, 0], None)
+
+            @pl.when(jnp.logical_not(full))
+            def _masked():
+                _slow()
+        else:
+            _slow()
 
     @pl.when(ki == nk_grid - 1)
     def _finalize():
@@ -209,7 +255,7 @@ def _as_t0(t_start, like=None) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
-                     "interpret", "return_lse"),
+                     "interpret", "return_lse", "scale_on_q", "fastpath"),
 )
 def flash_banded(
     Q: jnp.ndarray,           # [B, S, G, h, Dk]  (native module layout)
@@ -227,6 +273,8 @@ def flash_banded(
     return_lse: bool = False,
     t_start=None,             # traced int32 scalar: global position of row 0
     seq_start=None,           # [B, S] int32: per-row document starts (varlen)
+    scale_on_q: Optional[bool] = None,   # None -> tuned("flash.scale_on_q")
+    fastpath: Optional[bool] = None,     # None -> tuned("flash.fastpath")
 ):
     """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
     flat row stats [B*G, 1, stats_rows(S, h)] f32 when return_lse
@@ -274,11 +322,18 @@ def flash_banded(
         kt = jnp.clip(kt, 0, pl.cdiv(S_kv, block_k) - 1)
         return (b, g, kt, 0)
 
+    from nsa_vibe_tpu.ops.tuning import tuned
+
+    if scale_on_q is None:
+        scale_on_q = bool(tuned("flash.scale_on_q"))
+    if fastpath is None:
+        fastpath = bool(tuned("flash.fastpath"))
     kernel = functools.partial(
         _flash_kernel,
         mode=mode, w=w, l=l, d=d, scale=scale,
         block_q=block_q, block_k=block_k, h=h, nk_grid=nk, s_kv=S_kv,
         return_lse=return_lse, varlen=varlen,
+        scale_on_q=scale_on_q, fastpath=fastpath,
     )
     out_specs = pl.BlockSpec(
         (1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),

@@ -30,7 +30,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _band_select, _bounds_fn, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import (
+    LOG2E, _band_select, _bounds_fn, _q_scale_fold, stats_rows,
+)
 
 
 def _load_stats(ref, row0, rows):
@@ -52,7 +54,7 @@ def _row_block_layout(x):
 def _dq_kernel(
     t0_ref, *refs,
     mode, w, l, d, scale, block_q, block_k, h, nk_grid, s_kv,
-    varlen=False,
+    varlen=False, scale_on_q=True,
 ):
     if varlen:
         (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -83,6 +85,7 @@ def _dq_kernel(
         q = q_ref[0, :, 0]                                # [Tq, h, Dk]
         Dk = q.shape[2]
         qf = q.reshape(block_q * h, Dk)
+        qs, post = _q_scale_fold(qf, scale * LOG2E, scale_on_q)
         kt = kt_lo + ki
         # zero OOB K rows (garbage padding memory) — statically skipped
         # when every kv tile is full
@@ -90,8 +93,10 @@ def _dq_kernel(
         k = k_ref[0, 0] if s_kv % block_k == 0 else (
             jnp.where(krow < s_kv, k_ref[0, 0], 0))       # [Tk, Dk]
         logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if post != 1.0:
+            logits = logits * post
         # flat additive masking on [rows, Tk] (see flash._flash_kernel —
         # the compact-mask head-broadcast reshape is a costly relayout)
         kpos = kt * block_k + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
@@ -153,7 +158,7 @@ def _inverse_q_bounds(mode, w, l, d, k0, block_k, block_q, s, t0):
 def _dkv_kernel(
     t0_ref, *refs,
     mode, w, l, d, scale, block_q, block_k, h, nq_grid, s, s_kv,
-    varlen=False,
+    varlen=False, scale_on_q=True,
 ):
     if varlen:
         (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -190,10 +195,13 @@ def _dkv_kernel(
         if not full_q:
             q = jnp.where(rowv[:, :, None], q, 0)
         qf = q.reshape(block_q * h, Dk)
+        qs, post = _q_scale_fold(qf, scale * LOG2E, scale_on_q)
         k = k_ref[0, 0]
         logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if post != 1.0:
+            logits = logits * post
         # flat additive masking on [rows, Tk] (see flash._flash_kernel)
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         flat = jax.lax.broadcasted_iota(jnp.int32, (block_q * h, 1), 0)
@@ -245,7 +253,7 @@ def _dkv_kernel(
 def _onepass_bwd_kernel(
     t0_ref, *refs,
     mode, w, l, d, scale, block_q, block_k, h, nq_grid, nq_total, s, s_kv,
-    varlen=False,
+    varlen=False, scale_on_q=True, fastpath=True,
 ):
     """ONE-pass flash backward: kv-major grid (b, g, ki, qt). P/dS are
     computed ONCE per (kv-tile, q-tile) pair and feed all three products
@@ -263,11 +271,11 @@ def _onepass_bwd_kernel(
     if varlen:
         (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
          dsrow_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
-        del ds_tile_ref
     else:
-        dsrow_ref = None
+        ds_tile_ref = dsrow_ref = None
         (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
          dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+    b = pl.program_id(0)
     ki = pl.program_id(2)
     qi_rel = pl.program_id(3)
     bounds = _bounds_fn(mode, w, l, d)
@@ -298,56 +306,104 @@ def _onepass_bwd_kernel(
 
     @pl.when(qi_rel < n_live)
     def _compute():
-        q = q_ref[0, :, 0]                                # [Tq, h, Dk]
-        Dk = q.shape[2]
-        srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-        rowv = srow < s
-        full_q = s % block_q == 0
-        q_z = q if full_q else jnp.where(rowv[:, :, None], q, 0)
-        qf = q_z.reshape(rows, Dk)
-        krow = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
-        k = k_ref[0, 0] if s_kv % block_k == 0 else (
-            jnp.where(krow < s_kv, k_ref[0, 0], 0))
-        logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
-        kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        tposf = t0 + qt * block_q + flat // h
-        ds_r = None
-        if varlen:
-            lane = dsrow_ref[0, 0, :].reshape(1, rows)
-            ds_r = jax.lax.transpose(lane, (1, 0))
-        lo_r, hi_r = bounds(tposf, ds_r)
-        logits = _band_select(logits, lo_r, hi_r, kpos)
-        rowvf = (qt * block_q + flat // h) < s
-        lse_raw = _load_stats(lse_ref, qt * rows, rows)
-        lse = lse_raw if full_q else jnp.where(rowvf, lse_raw, EMPTY_LSE)
-        p = jnp.exp2(logits - lse)                         # [rows, Tk]
+        t_first = t0 + qt * block_q
+        t_last = t_first + block_q - 1
 
-        do = do_ref[0, :, 0]
-        Dv = do.shape[2]
-        if not full_q:
-            do = jnp.where(rowv[:, :, None], do, 0)
-        dof = do.reshape(rows, Dv)
-        dv_scr[:] += jax.lax.dot_general(
-            p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        v = v_ref[0, 0] if s_kv % block_k == 0 else (
-            jnp.where(krow < s_kv, v_ref[0, 0], 0))
-        dpv = jax.lax.dot_general(
-            dof, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        delta_raw = _load_stats(delta_ref, qt * rows, rows)
-        delta = delta_raw if full_q else (
-            jnp.where(rowvf, delta_raw, jnp.float32(0.0)))
-        ds = (p * (dpv - delta)).astype(q.dtype)
-        dk_scr[:] += scale * jax.lax.dot_general(
-            ds, qf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        slot = pl.dslice(slot0, rows)
-        contrib = scale * jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        prev = jnp.where(first_visit, 0.0, dq_scr[slot, :])
-        dq_scr[slot, :] = prev + contrib
+        def _body(qf, qs, post, k, v, dof, lse, delta, mask):
+            """P/dS once per tile pair -> dV/dK scratch accum + dQ slot."""
+            logits = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if post != 1.0:
+                logits = logits * post
+            if mask is not None:
+                logits = mask(logits)
+            p = jnp.exp2(logits - lse)                     # [rows, Tk]
+            dv_scr[:] += jax.lax.dot_general(
+                p.astype(dof.dtype), dof, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dpv = jax.lax.dot_general(
+                dof, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dpv - delta)).astype(qf.dtype)
+            dk_scr[:] += scale * jax.lax.dot_general(
+                ds, qf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            slot = pl.dslice(slot0, rows)
+            contrib = scale * jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            prev = jnp.where(first_visit, 0.0, dq_scr[slot, :])
+            dq_scr[slot, :] = prev + contrib
+
+        def _slow():
+            q = q_ref[0, :, 0]                            # [Tq, h, Dk]
+            Dk = q.shape[2]
+            srow = qt * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, 1), 0)
+            rowv = srow < s
+            full_q = s % block_q == 0
+            q_z = q if full_q else jnp.where(rowv[:, :, None], q, 0)
+            qf = q_z.reshape(rows, Dk)
+            qs, post = _q_scale_fold(qf, scale * LOG2E, scale_on_q)
+            krow = k0 + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+            k = k_ref[0, 0] if s_kv % block_k == 0 else (
+                jnp.where(krow < s_kv, k_ref[0, 0], 0))
+            v = v_ref[0, 0] if s_kv % block_k == 0 else (
+                jnp.where(krow < s_kv, v_ref[0, 0], 0))
+            kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+            flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+            tposf = t0 + qt * block_q + flat // h
+            ds_r = None
+            if varlen:
+                lane = dsrow_ref[0, 0, :].reshape(1, rows)
+                ds_r = jax.lax.transpose(lane, (1, 0))
+            lo_r, hi_r = bounds(tposf, ds_r)
+            rowvf = (qt * block_q + flat // h) < s
+            lse_raw = _load_stats(lse_ref, qt * rows, rows)
+            lse = lse_raw if full_q else jnp.where(rowvf, lse_raw, EMPTY_LSE)
+            do = do_ref[0, :, 0]
+            Dv = do.shape[2]
+            if not full_q:
+                do = jnp.where(rowv[:, :, None], do, 0)
+            dof = do.reshape(rows, Dv)
+            delta_raw = _load_stats(delta_ref, qt * rows, rows)
+            delta = delta_raw if full_q else (
+                jnp.where(rowvf, delta_raw, jnp.float32(0.0)))
+            _body(qf, qs, post, k, v, dof, lse, delta,
+                  lambda lg: _band_select(lg, lo_r, hi_r, kpos))
+
+        def _fast():
+            # fully-live pair (see flash._flash_kernel): no band select,
+            # no OOB zeroing/sanitizing. Requires the q tile fully in
+            # range (the fast predicate checks it) so the raw lse/delta
+            # rows are all real.
+            q = q_ref[0, :, 0]
+            qf = q.reshape(rows, q.shape[2])
+            qs, post = _q_scale_fold(qf, scale * LOG2E, scale_on_q)
+            lse = _load_stats(lse_ref, qt * rows, rows)
+            delta = _load_stats(delta_ref, qt * rows, rows)
+            dof = do_ref[0, :, 0].reshape(rows, do_ref.shape[4])
+            _body(qf, qs, post, k_ref[0, 0], v_ref[0, 0], dof, lse, delta,
+                  None)
+
+        if fastpath:
+            ds_f = ds_tile_ref[b, 0, qt] if varlen else None
+            ds_l = ds_tile_ref[b, 1, qt] if varlen else None
+            lo_last, _ = bounds(t_last, ds_l)
+            _, hi_first = bounds(t_first, ds_f)
+            full = ((k0 >= lo_last) & (k0 + block_k <= hi_first)
+                    & (qt * block_q + block_q <= s))
+
+            @pl.when(full)
+            def _():
+                _fast()
+
+            @pl.when(jnp.logical_not(full))
+            def _():
+                _slow()
+        else:
+            _slow()
 
     # write-through the CURRENT q-tile's dq slot every step (clamped qt on
     # dead steps rewrites an existing slot's partial sum — harmless).
@@ -366,12 +422,14 @@ def _onepass_bwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
+                     "interpret", "scale_on_q", "fastpath"),
 )
 def flash_banded_bwd_onepass(
     Q, K, V, dO, lse, delta,
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=512,
     interpret=False, t_start=None, seq_start=None,
+    scale_on_q=None, fastpath=None,
 ):
     """One-pass backward (see _onepass_bwd_kernel). Same contract as
     flash_banded_bwd. The dq scratch is [nslots*rows, Dk] f32 — sequences
@@ -385,7 +443,12 @@ def flash_banded_bwd_onepass(
     be visited by the kv-major grid and its dq block would stay
     unwritten."""
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands, stats_rows as _sr
+    from nsa_vibe_tpu.ops.tuning import tuned
 
+    if scale_on_q is None:
+        scale_on_q = bool(tuned("flash.scale_on_q"))
+    if fastpath is None:
+        fastpath = bool(tuned("flash.fastpath"))
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
 
@@ -404,6 +467,7 @@ def flash_banded_bwd_onepass(
                 block_k=block_k, interpret=interpret,
                 t_start=t0_base + i * q_chunk,
                 seq_start=None if seq_start is None else seq_start[:, sl],
+                scale_on_q=scale_on_q, fastpath=fastpath,
             )
             dqs.append(dq_i)
             dk_total = dk_total + dk_i.astype(jnp.float32)
@@ -429,7 +493,7 @@ def flash_banded_bwd_onepass(
             return flash_banded_bwd(
                 Q, K, V, dO, lse, delta, mode=mode, w=w, l=l, d=d, scale=scale,
                 block_q=block_q, block_k=block_k, interpret=interpret,
-                t_start=t_start, seq_start=seq_start)
+                t_start=t_start, seq_start=seq_start, scale_on_q=scale_on_q)
 
     def q_index(b, g, ki, qi, t0_ref, *more):
         k0 = ki * block_k
@@ -474,7 +538,8 @@ def flash_banded_bwd_onepass(
         functools.partial(_onepass_bwd_kernel, mode=mode, w=w, l=l, d=d,
                           scale=scale, block_q=block_q, block_k=block_k, h=h,
                           nq_grid=nq_inner, nq_total=nq, s=S, s_kv=S_kv,
-                          varlen=varlen),
+                          varlen=varlen, scale_on_q=scale_on_q,
+                          fastpath=fastpath),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nk_total, nq_inner),
@@ -499,19 +564,23 @@ def flash_banded_bwd_onepass(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
+                     "interpret", "scale_on_q"),
 )
 def flash_banded_bwd(
     Q, K, V, dO, lse, delta,
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=128, interpret=False,
-    t_start=None, seq_start=None,
+    t_start=None, seq_start=None, scale_on_q=None,
 ):
     """lse/delta: flat [B*G, 1, stats_rows(S, h)] float32 (row = t*h + head).
     Returns (dQ, dK, dV). `t_start`: traced global position of row 0
     (sequence-sharded / chunked prefill). `seq_start` [B,S]: per-row
     document starts (varlen batching; see flash_banded)."""
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands
+    from nsa_vibe_tpu.ops.tuning import tuned
 
+    if scale_on_q is None:
+        scale_on_q = bool(tuned("flash.scale_on_q"))
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     block_q = min(block_q, max(S, 8))
@@ -553,7 +622,7 @@ def flash_banded_bwd(
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, mode=mode, w=w, l=l, d=d, scale=scale,
                           block_q=block_q, block_k=block_k, h=h, nk_grid=nk,
-                          s_kv=S_kv, varlen=varlen),
+                          s_kv=S_kv, varlen=varlen, scale_on_q=scale_on_q),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nq, nk),
@@ -596,7 +665,8 @@ def flash_banded_bwd(
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, mode=mode, w=w, l=l, d=d, scale=scale,
                           block_q=block_q, block_k=block_k, h=h,
-                          nq_grid=nq_inner, s=S, s_kv=S_kv, varlen=varlen),
+                          nq_grid=nq_inner, s=S, s_kv=S_kv, varlen=varlen,
+                          scale_on_q=scale_on_q),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nk_total, nq_inner),

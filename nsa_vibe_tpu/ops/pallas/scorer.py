@@ -32,7 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, _q_scale_fold, stats_rows
+from nsa_vibe_tpu.ops.pallas.sel_flash import _scale_on_q
 
 NEG = float(np.finfo(np.float32).min)
 
@@ -71,9 +72,12 @@ def _scorer_kernel(
 
     # --- online-softmax over this S_cmp chunk, accumulating p_slc = p @ M ---
     k = kc_ref[0, 0]                                                  # [C, Dk]
+    qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
     logits = jax.lax.dot_general(
-        qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)                                               # [rows, C] (base-2)
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                                 # [rows, C] (base-2)
+    if post != 1.0:
+        logits = logits * post
     cidx = (c * cmp_chunk
             + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
     visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]
@@ -263,9 +267,12 @@ def _select_cmp_kernel(
         acc_o[:] = jnp.zeros_like(acc_o)
 
     k = kc_ref[0, 0]                                                  # [C, Dk]
+    qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
     logits = jax.lax.dot_general(
-        qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * LOG2E)                                               # [rows, C] (base-2)
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                                 # [rows, C] (base-2)
+    if post != 1.0:
+        logits = logits * post
     cidx = (c * cmp_chunk
             + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
     visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]

@@ -29,7 +29,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, _q_scale_fold, stats_rows
+
+
+def _scale_on_q() -> bool:
+    """Trace-time read of the scale-fold flag (see flash._q_scale_fold).
+    tuned() is process-stable (lru-cached load), so reading it inside the
+    kernel trace is deterministic; A/B runs flip configs/kernel_tuning.json."""
+    from nsa_vibe_tpu.ops.tuning import tuned
+
+    return bool(tuned("flash.scale_on_q"))
 
 NEG_INF = float(np.finfo(np.float32).min)
 
@@ -104,10 +113,13 @@ def _sel_flash_kernel(
             # inf/NaN, which additive masking does not cancel
             ks.append(jnp.where(vrow < s_kv, k_refs[i][0, 0], 0))
             vs.append(jnp.where(vrow < s_kv, v_refs[i][0, 0], 0))
+        qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
         logits = jax.lax.dot_general(
-            qf, jnp.concatenate(ks, axis=0),
+            qs, jnp.concatenate(ks, axis=0),
             (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)                                # [Tq*h, KB*l_sel] (base-2)
+        )                                                  # [Tq*h, KB*l_sel] (base-2)
+        if post != 1.0:
+            logits = logits * post
         maskf = jnp.concatenate(subs, axis=-1)             # [Tq, KB*l_sel]
         maskf = jnp.broadcast_to(
             maskf[:, None, :], (block_q, h, KB * l_sel)
@@ -337,9 +349,12 @@ def _sel_dq_kernel(
             maskf[:, None, :], (block_q, h, KB * l_sel)
         ).reshape(block_q * h, KB * l_sel)
 
+        qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
         logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if post != 1.0:
+            logits = logits * post
         # lse is finite for live rows (every row selects block 0) and
         # +1e30 for empty rows, so masked entries underflow to exactly 0
         # without a post-multiply
@@ -403,9 +418,12 @@ def _sel_dkv_kernel(
         # zero OOB K rows BEFORE the matmul (additive masking cannot
         # remove a NaN logit)
         k = jnp.where(krow < s_kv, k_ref[0, 0], 0)         # [KB*l_sel, Dk]
+        qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
         logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if post != 1.0:
+            logits = logits * post
         sel_q = sel_ref[0, 0]
         tpos = t0_ref[0] + srow
         kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
@@ -649,9 +667,12 @@ def _sel_onepass_bwd_kernel(
         krow = (jg * KB * l_sel
                 + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
         k = jnp.where(krow < s_kv, k_ref[0, 0], 0)
+        qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
         logits = jax.lax.dot_general(
-            qf, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if post != 1.0:
+            logits = logits * post
         sel_q = sel_ref[0, 0]
         tpos = t0_ref[0] + srow
         kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)

@@ -42,6 +42,14 @@ DEFAULTS = {
     "bwd.onepass": 1,
     "sel.bwd_onepass": 1,
     "sel.bwd_q_chunk": 0,   # 0 = kernel default   # selection backward can opt out independently
+    # flash-kernel micro-op flags (flash.py/flash_bwd.py):
+    #   scale_on_q — fold scale*LOG2E into the [rows,Dk] Q operand (one
+    #     narrow multiply) instead of the [rows,block_k] logits (last-ulp
+    #     numeric change);
+    #   fastpath — scalar-branch to an unmasked body when a (q,kv) tile
+    #     pair is fully inside the visibility band (bit-identical).
+    "flash.scale_on_q": 1,
+    "flash.fastpath": 1,
 }
 
 _TUNING_PATH = os.environ.get(
