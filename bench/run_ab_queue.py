@@ -1,0 +1,102 @@
+"""Sequential e2e A/B queue over kernel-tuning variants (real TPU).
+
+A/B PERF DECISIONS ONLY VIA THE E2E TRAIN BENCH (see CLAUDE.md): each
+variant writes a merged kernel_tuning.json to a temp file, points
+NSA_KERNEL_TUNING at it, and runs bench/bench_train.py in a fresh
+process (tuning is read once per process). Results append to
+artifacts/ab_queue.jsonl and print as a table.
+
+Run: python bench/run_ab_queue.py [--steps 8] [--only name1,name2]
+     [--batch 16] [--seq 2048]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (name, overrides merged over configs/kernel_tuning.json)
+VARIANTS = [
+    # bit-identical baseline = r2-late state (validates the base-2 /
+    # one-select-mask changes against the 57.4k @ loss 5.5535 record)
+    ("flags-off", {"flash.scale_on_q": 0, "flash.fastpath": 0}),
+    ("fastpath", {"flash.scale_on_q": 0, "flash.fastpath": 1}),
+    ("scaleq", {"flash.scale_on_q": 1, "flash.fastpath": 0}),
+    ("flags-on", {}),
+    # fwd win tiles: 256-wide kv tiles make the middle band tile fully
+    # live (fastpath) and cut dead lanes ~2x vs 1024 (see flash.py notes)
+    ("fwd-wink256", {"win.block_k": 256}),
+    ("fwd-wink512", {"win.block_k": 512}),
+    # bwd win kv tiles: smaller tiles raise the fully-live pair fraction
+    ("bwd-wink256", {"win.bwd_block_k": 256}),
+    ("bwd-k256-all", {"win.bwd_block_k": 256, "cmp.bwd_block_k": 256}),
+]
+
+
+def run_variant(name: str, overrides: dict, args) -> dict:
+    with open(os.path.join(REPO, "configs", "kernel_tuning.json")) as f:
+        base = json.load(f)
+    merged = {**base, **overrides}
+    fd, path = tempfile.mkstemp(suffix=f"_{name}.json")
+    with os.fdopen(fd, "w") as f:
+        json.dump(merged, f)
+    env = {**os.environ, "NSA_KERNEL_TUNING": path}
+    cmd = [sys.executable, os.path.join(REPO, "bench", "bench_train.py"),
+           "--batch", str(args.batch), "--seq", str(args.seq),
+           "--steps", str(args.steps)]
+    t0 = time.time()
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=args.timeout)
+    wall = time.time() - t0
+    line = next((ln for ln in reversed(out.stdout.splitlines())
+                 if ln.startswith("{")), None)
+    if out.returncode != 0 or line is None:
+        return {"variant": name, "error": (out.stderr or out.stdout)[-2000:],
+                "wall_s": round(wall, 1)}
+    rec = {"variant": name, "overrides": overrides,
+           **json.loads(line), "wall_s": round(wall, 1)}
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--seq", type=int, default=2048)
+    ap.add_argument("--timeout", type=int, default=1500)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated variant names")
+    args = ap.parse_args()
+    only = set(args.only.split(",")) if args.only else None
+    log = os.path.join(REPO, "artifacts", "ab_queue.jsonl")
+    os.makedirs(os.path.dirname(log), exist_ok=True)
+    results = []
+    for name, overrides in VARIANTS:
+        if only and name not in only:
+            continue
+        rec = run_variant(name, overrides, args)
+        results.append(rec)
+        with open(log, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if "error" in rec:
+            print(f"{name:16s} ERROR (see {log})")
+            print(rec["error"][-500:])
+        else:
+            print(f"{name:16s} {rec['value']:>9.1f} toks/s  "
+                  f"loss={rec['loss']}  step={rec['step_ms']}ms  "
+                  f"({rec['wall_s']:.0f}s)", flush=True)
+    best = max((r for r in results if "value" in r),
+               key=lambda r: r["value"], default=None)
+    if best:
+        print(f"\nbest: {best['variant']} @ {best['value']:.1f} toks/s")
+
+
+if __name__ == "__main__":
+    main()
