@@ -34,8 +34,11 @@ VARIANTS = [
     # live (fastpath) and cut dead lanes ~2x vs 1024 (see flash.py notes)
     ("fwd-wink256", {"win.block_k": 256}),
     ("fwd-wink512", {"win.block_k": 512}),
+    ("fwd-winq128k128", {"win.block_q": 128, "win.block_k": 128}),
     # bwd win kv tiles: smaller tiles raise the fully-live pair fraction
+    # (at w=512, bq=128: bk=512 -> 3/8 pairs fully live; bk=128 -> 3/6)
     ("bwd-wink256", {"win.bwd_block_k": 256}),
+    ("bwd-wink128", {"win.bwd_block_k": 128}),
     ("bwd-k256-all", {"win.bwd_block_k": 256, "cmp.bwd_block_k": 256}),
 ]
 

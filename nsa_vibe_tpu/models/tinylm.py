@@ -118,6 +118,8 @@ def generate_scan(
     temperature: float = 0.0,
     key: Optional[jax.Array] = None,
     capacity: Optional[int] = None,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jnp.ndarray:
     """Whole-generation-in-one-program decoding: prefill + a lax.scan of
     n_new decode steps inside a single jit.
@@ -135,26 +137,27 @@ def generate_scan(
         key = jax.random.PRNGKey(0)
     # the compiled program must be cached across calls — a fresh jit
     # wrapper per call re-traces the whole prefill + n_new-step scan
-    return _generate_scan_fn(mcfg, n_new, float(temperature), capacity)(
-        params, prompt, key)
+    return _generate_scan_fn(mcfg, n_new, float(temperature), capacity,
+                             int(top_k), float(top_p))(params, prompt, key)
 
 
 @functools.lru_cache(maxsize=32)
 def _generate_scan_fn(mcfg: ModelConfig, n_new: int, temperature: float,
-                      capacity: int):
+                      capacity: int, top_k: int = 0, top_p: float = 1.0):
+    from nsa_vibe_tpu.utils.sampling import sample_logits
+
     @jax.jit
     def run(params, prompt, key):
+        key, k0 = jax.random.split(key)
         logits, caches = model_prefill_with_caches(params, prompt, mcfg, capacity)
-        tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+        tok0 = sample_logits(k0, logits[:, -1], temperature, top_k,
+                             top_p)[:, None].astype(prompt.dtype)
 
         def body(carry, k):
             tok, caches = carry
             logits, caches = model_decode_step(params, tok, caches, mcfg)
-            if temperature > 0:
-                nxt = jax.random.categorical(k, logits[:, -1] / temperature)[:, None]
-                nxt = nxt.astype(tok.dtype)
-            else:
-                nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(tok.dtype)
+            nxt = sample_logits(k, logits[:, -1], temperature, top_k,
+                                top_p)[:, None].astype(tok.dtype)
             return (nxt, caches), nxt
 
         keys = jax.random.split(key, max(n_new - 1, 1))
@@ -174,8 +177,13 @@ def generate(
     temperature: float = 0.0,
     key: Optional[jax.Array] = None,
     capacity: Optional[int] = None,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ) -> jnp.ndarray:
-    """Greedy / temperature sampling. prompt: [B, S0] -> [B, S0 + n_new]."""
+    """Greedy / temperature / top-k / nucleus sampling (utils.sampling).
+    prompt: [B, S0] -> [B, S0 + n_new]."""
+    from nsa_vibe_tpu.utils.sampling import sample_logits
+
     B, S0 = prompt.shape
     capacity = capacity or S0 + n_new
     if S0 + n_new > capacity:
@@ -184,15 +192,17 @@ def generate(
         lambda p, t: model_prefill_with_caches(p, t, mcfg, capacity)
     )(params, prompt)
     step = jax.jit(lambda p, t, c: model_decode_step(p, t, c, mcfg))
-    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+    sample = jax.jit(functools.partial(
+        sample_logits, temperature=temperature if key is not None else 0.0,
+        top_k=top_k, top_p=top_p))
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    key, sub = jax.random.split(key)
+    tok = sample(sub, logits[:, -1])[:, None].astype(prompt.dtype)
     out = [prompt, tok]
     for i in range(n_new - 1):
         logits, caches = step(params, tok, caches)
-        if temperature > 0 and key is not None:
-            key, sub = jax.random.split(key)
-            tok = jax.random.categorical(sub, logits[:, -1] / temperature)[:, None]
-            tok = tok.astype(prompt.dtype)
-        else:
-            tok = jnp.argmax(logits[:, -1:], axis=-1).astype(prompt.dtype)
+        key, sub = jax.random.split(key)
+        tok = sample(sub, logits[:, -1])[:, None].astype(prompt.dtype)
         out.append(tok)
     return jnp.concatenate(out, axis=1)
