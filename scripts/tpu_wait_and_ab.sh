@@ -1,0 +1,21 @@
+#!/bin/bash
+# Wait for the axon TPU tunnel to come back, then run the pending
+# on-device validation queue (CLAUDE.md "r2 late"): sequential e2e
+# bench_train A/B over kernel-tuning variants. Designed to run under
+# tmux and survive the session.
+set -u
+cd "$(dirname "$0")/.."
+LOG=artifacts/tpu_wait.log
+mkdir -p artifacts
+echo "[$(date +%T)] waiting for TPU tunnel..." | tee -a "$LOG"
+while true; do
+  if timeout 180 python -c "import jax; d=jax.devices(); assert d, d; print(d)" >>"$LOG" 2>&1; then
+    echo "[$(date +%T)] TPU is back" | tee -a "$LOG"
+    break
+  fi
+  echo "[$(date +%T)] still down; retry in 120s" | tee -a "$LOG"
+  sleep 120
+done
+echo "[$(date +%T)] running A/B queue" | tee -a "$LOG"
+python bench/run_ab_queue.py 2>&1 | tee -a artifacts/ab_queue_run.log
+echo "[$(date +%T)] A/B queue done (exit $?)" | tee -a "$LOG"
