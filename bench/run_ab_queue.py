@@ -100,6 +100,29 @@ def main() -> None:
     if best:
         print(f"\nbest: {best['variant']} @ {best['value']:.1f} toks/s")
 
+    # Second phase: merge the best fwd-tile, bwd-tile and flag winners and
+    # run the combo (flags live in the default config, so a tile winner
+    # already includes flags-on; this catches tile-x-tile interactions).
+    ok = {r["variant"]: r for r in results if "value" in r}
+    if not (args.only or len(ok) < len(VARIANTS)):
+        def _best_of(names):
+            group = [ok[n] for n in names if n in ok]
+            return max(group, key=lambda r: r["value"]) if group else None
+        fwd = _best_of(["flags-on", "fwd-wink256", "fwd-wink512",
+                        "fwd-winq128k128"])
+        bwd = _best_of(["flags-on", "bwd-wink256", "bwd-wink128",
+                        "bwd-k256-all"])
+        combo = {**fwd["overrides"], **bwd["overrides"]}
+        if combo and all(combo != r.get("overrides") for r in results):
+            rec = run_variant("combo", combo, args)
+            with open(log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            if "value" in rec:
+                print(f"combo {combo} -> {rec['value']:.1f} toks/s  "
+                      f"loss={rec['loss']}")
+            else:
+                print(f"combo ERROR (see {log})")
+
 
 if __name__ == "__main__":
     main()
