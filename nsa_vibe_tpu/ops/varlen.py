@@ -253,20 +253,25 @@ def pack_documents_aligned(
 def make_varlen_batches(
     source: str, seq_len: int, batch_size: int, align: int,
     shard=None, seed: int = 0, tokenizer: str = "byte", pad_id: int = 0,
+    epochs: int = 1,
 ):
     """Yield (tokens [B,S+1], seq_start [B,S], loss_mask [B,S]) batches of
     align-packed documents from a data source (same sources as
-    train.data.make_batches)."""
-    from nsa_vibe_tpu.train.data import Shard, fineweb_docs, local_docs, synthetic_docs
+    train.data.make_batches). epochs (local files only): 0 cycles forever."""
+    from nsa_vibe_tpu.train.data import (
+        Shard, fineweb_docs, local_docs, make_tokenizer, synthetic_docs,
+    )
 
     shard = shard or Shard()
+    tokenize = make_tokenizer(tokenizer)
     if source == "synthetic":
         docs = synthetic_docs(seed=seed, doc_len=max(seq_len // 3, 8))
     elif source.startswith("fineweb"):
         name = source.split(":", 1)[1] if ":" in source else None
-        docs = fineweb_docs(name=name, shard=shard, tokenizer=tokenizer)
+        kw = {"name": name} if name else {}
+        docs = fineweb_docs(shard=shard, tokenize=tokenize, **kw)
     else:
-        docs = local_docs(source, shard, tokenizer=tokenizer)
+        docs = local_docs(source, shard, tokenize=tokenize, epochs=epochs)
 
     buf: List[np.ndarray] = []
     target_rows = batch_size * 4        # pack a few batches at a time

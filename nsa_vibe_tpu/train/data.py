@@ -95,28 +95,36 @@ def synthetic_docs(seed: int = 0, doc_len: int = 2048) -> Iterator[np.ndarray]:
 
 
 def local_docs(path: str, shard: Shard = Shard(),
-               tokenize=tokenize_bytes) -> Iterator[np.ndarray]:
-    """Local .jsonl ({'text': ...} per line) or plain .txt file."""
-    idx = 0
-    if path.endswith(".jsonl"):
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                if shard.owns(idx):
-                    try:
-                        text = json.loads(line).get("text", "")
-                    except json.JSONDecodeError:
-                        text = ""
-                    if text:
-                        yield tokenize(text)
-                idx += 1
-    else:
-        with open(path) as f:
-            text = f.read()
-        if shard.owns(0):
-            yield tokenize(text)
+               tokenize=tokenize_bytes, epochs: int = 1) -> Iterator[np.ndarray]:
+    """Local .jsonl ({'text': ...} per line) or plain .txt file.
+    epochs=0 cycles the file forever (multi-epoch training on small
+    corpora — the trainer uses this so a tiny local corpus doesn't
+    exhaust the stream mid-run)."""
+    e = 0
+    while True:
+        idx = 0
+        if path.endswith(".jsonl"):
+            with open(path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if shard.owns(idx):
+                        try:
+                            text = json.loads(line).get("text", "")
+                        except json.JSONDecodeError:
+                            text = ""
+                        if text:
+                            yield tokenize(text)
+                    idx += 1
+        else:
+            with open(path) as f:
+                text = f.read()
+            if shard.owns(0):
+                yield tokenize(text)
+        e += 1
+        if epochs and e >= epochs:
+            return
 
 
 def fineweb_docs(
@@ -169,11 +177,13 @@ def make_batches(
     seed: int = 0,
     native: Optional[bool] = None,
     tokenizer: str = "byte",
+    epochs: int = 1,
 ) -> Iterator[np.ndarray]:
     """source: 'synthetic' | path to .jsonl/.txt | 'fineweb[:name]'.
     native: True = require the C++ packer, False = pure python,
     None = auto (native when buildable; byte tokenizer only — the C++
-    ring buffer stores byte tokens)."""
+    ring buffer stores byte tokens). epochs (local files only): 0 cycles
+    forever."""
     tokenize = make_tokenizer(tokenizer)
     if source == "synthetic":
         docs: Iterator[np.ndarray] = synthetic_docs(seed + shard.rem)
@@ -182,7 +192,7 @@ def make_batches(
         docs = fineweb_docs(parts[1] if len(parts) > 1 else "HuggingFaceFW/fineweb-edu",
                             shard=shard, tokenize=tokenize)
     elif os.path.exists(source):
-        docs = local_docs(source, shard, tokenize=tokenize)
+        docs = local_docs(source, shard, tokenize=tokenize, epochs=epochs)
     else:
         raise ValueError(f"unknown data source: {source}")
     if tokenizer != "byte":

@@ -181,11 +181,12 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
             return make_varlen_batches(
                 src, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
                 align=mcfg.nsa.l_sel, shard=Shard(n_proc, rank),
-                seed=tcfg.seed, tokenizer=tokenizer,
+                seed=tcfg.seed, tokenizer=tokenizer, epochs=0,
             )
         return make_batches(
             src, tcfg.seq_len, tcfg.batch_size * tcfg.accum_steps,
             shard=Shard(n_proc, rank), seed=tcfg.seed, tokenizer=tokenizer,
+            epochs=0,
         )
 
     batches = _Prefetcher(_make(data_source))

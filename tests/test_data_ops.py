@@ -59,6 +59,42 @@ def test_local_jsonl_loader(tmp_path):
     assert [d.tolist() for d in docs1] == [[100, 101, 102, 103]]
 
 
+def test_local_docs_epoch_cycling(tmp_path):
+    """epochs=N replays the file N times; epochs=0 cycles forever (the
+    trainer's mode — a small corpus must not exhaust mid-run)."""
+    p = tmp_path / "c.txt"
+    p.write_text("xyz")
+    assert len(list(local_docs(str(p), epochs=1))) == 1
+    assert len(list(local_docs(str(p), epochs=3))) == 3
+    it = local_docs(str(p), epochs=0)
+    for _ in range(7):
+        assert next(it).tolist() == [120, 121, 122]
+
+
+def test_make_batches_local_epochs(tmp_path):
+    p = tmp_path / "c.txt"
+    p.write_text("abcdefgh" * 20)  # 160 bytes
+    # one epoch of 160 tokens yields 4 batches of 2x(16+1)=34 tokens
+    assert len(list(make_batches(str(p), 16, 2, native=False))) == 4
+    it = make_batches(str(p), 16, 2, native=False, epochs=0)
+    for _ in range(20):
+        assert next(it).shape == (2, 17)
+
+
+def test_make_varlen_batches_local_file(tmp_path):
+    """Regression: varlen batching from a local file (the tokenizer spec
+    is resolved to a callable before reaching local_docs)."""
+    from nsa_vibe_tpu.ops.varlen import make_varlen_batches
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text("".join(f'{{"text": "{"ab" * 30}"}}\n' for _ in range(16)))
+    toks, seq_start, loss_mask = next(
+        make_varlen_batches(str(p), seq_len=64, batch_size=2, align=16,
+                            epochs=0))
+    assert toks.shape == (2, 65)
+    assert seq_start.shape == (2, 64) and loss_mask.shape == (2, 64)
+
+
 def test_collate_varlen():
     out = collate_varlen([np.array([1, 2, 3]), np.array([4, 5])], seq_len=4)
     np.testing.assert_array_equal(out["tokens"], [[1, 2, 3, 0], [4, 5, 0, 0]])
