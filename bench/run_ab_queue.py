@@ -40,6 +40,10 @@ VARIANTS = [
     ("bwd-wink256", {"win.bwd_block_k": 256}),
     ("bwd-wink128", {"win.bwd_block_k": 128}),
     ("bwd-k256-all", {"win.bwd_block_k": 256, "cmp.bwd_block_k": 256}),
+    # one fused [dim, H*Dk+3G*(Dk+Dv)] QKV projection matmul instead of
+    # seven (saves 6 re-reads of the 50 MB x activation per layer fwd,
+    # and 6 dx accumulation passes bwd); per-column-identical numerics
+    ("proj-fused", {"proj.fused": 1}),
 ]
 
 
@@ -112,7 +116,8 @@ def main() -> None:
                         "fwd-winq128k128"])
         bwd = _best_of(["flags-on", "bwd-wink256", "bwd-wink128",
                         "bwd-k256-all"])
-        combo = {**fwd["overrides"], **bwd["overrides"]}
+        proj = _best_of(["flags-on", "proj-fused"])
+        combo = {**fwd["overrides"], **bwd["overrides"], **proj["overrides"]}
         if combo and all(combo != r.get("overrides") for r in results):
             rec = run_variant("combo", combo, args)
             with open(log, "a") as f:

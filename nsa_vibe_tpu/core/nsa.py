@@ -23,6 +23,7 @@ from nsa_vibe_tpu.core.gate import gate_probs, init_gate_params
 from nsa_vibe_tpu.ops import attention as attn_ops
 from nsa_vibe_tpu.ops.attention import resolve_kernel as _resolve_kernel
 from nsa_vibe_tpu.ops.block_index import BlockMeta, build_block_meta, num_cmp_blocks
+from nsa_vibe_tpu.ops.tuning import tuned
 from nsa_vibe_tpu.ops.compress import init_conv_phi_weight, pool_phi_rope_kv
 from nsa_vibe_tpu.ops.rope import apply_rope
 from nsa_vibe_tpu.ops.selection import select_topn_blocks, selection_scores
@@ -54,11 +55,42 @@ def init_nsa_params(key: jax.Array, cfg: NSAConfig, dtype=jnp.float32) -> dict:
     return params
 
 
-def project_qkv(params: dict, x: jnp.ndarray, cfg: NSAConfig):
+def project_qkv(params: dict, x: jnp.ndarray, cfg: NSAConfig,
+                fused: Optional[bool] = None):
     """All 7 projections. Returns Q [B,S,H,Dk] (no RoPE yet) and per-branch
-    K/V in [B,G,S,D*] layout (no RoPE yet)."""
+    K/V in [B,G,S,D*] layout (no RoPE yet).
+
+    With `proj.fused` (kernel_tuning) the seven weights are concatenated
+    at trace time into ONE [dim, H*Dk + 3G*(Dk+Dv)] matmul: the
+    per-branch K/V projections are [dim, G*D] slivers (128 columns at
+    m7c), and running them separately re-reads the x activation (50 MB
+    at m7c/B16/S2048) seven times in forward and accumulates dx in seven
+    passes in backward. Output columns are independent, so slicing the
+    fused product is numerically identical per branch. Params stay
+    separate leaves (checkpoint layout, per-branch init)."""
     B, S, _ = x.shape
     G = cfg.n_kv_groups
+    dk, dv = cfg.d_k, cfg.d_v
+    if tuned("proj.fused", 0) if fused is None else fused:
+        W = jnp.concatenate(
+            [params["W_Q"],
+             params["W_K_sel"], params["W_V_sel"],
+             params["W_K_win"], params["W_V_win"],
+             params["W_K_cmp"], params["W_V_cmp"]], axis=1)
+        Y = x @ W                           # [B, S, H*Dk + 3G*(Dk+Dv)]
+        nq = cfg.n_heads * dk
+
+        def kvf(off, dd):
+            return (Y[..., off:off + G * dd]
+                    .reshape(B, S, G, dd).transpose(0, 2, 1, 3))
+
+        Q = Y[..., :nq].reshape(B, S, cfg.n_heads, dk)
+        outs = []
+        o = nq
+        for dd in (dk, dv, dk, dv, dk, dv):  # sel K/V, win K/V, cmp K/V
+            outs.append(kvf(o, dd))
+            o += G * dd
+        return (Q, *outs)
 
     def kv(w, dd):
         return (x @ w).reshape(B, S, G, dd).transpose(0, 2, 1, 3)

@@ -50,6 +50,11 @@ DEFAULTS = {
     #     pair is fully inside the visibility band (bit-identical).
     "flash.scale_on_q": 1,
     "flash.fastpath": 1,
+    # fuse the 7 QKV projection matmuls into one (core/nsa.project_qkv):
+    # per-column-identical numerics; OFF until e2e-A/B'd on device so the
+    # r2-late validation baseline (57.4k @ loss 5.5535) stays bitwise
+    # reproducible with flags off
+    "proj.fused": 0,
 }
 
 _TUNING_PATH = os.environ.get(
