@@ -44,6 +44,14 @@ VARIANTS = [
     # seven (saves 6 re-reads of the 50 MB x activation per layer fwd,
     # and 6 dx accumulation passes bwd); per-column-identical numerics
     ("proj-fused", {"proj.fused": 1}),
+    # sel fwd kv_batch: more parallel scalar-prefetched DMAs + a wider
+    # [rows, KB*l_sel] matmul per grid step (KB=16 at f32 logits OOMs;
+    # 12 -> 768-lane logits should fit at bq=256)
+    ("sel-kb12", {"sel.kv_batch": 12}),
+    ("sel-bwd-kb12", {"sel.bwd_kv_batch": 12}),
+    # cmp fwd kv tiles: prefix-mode tiles are mostly fully-live, so wider
+    # tiles amortize per-step overhead without masking cost
+    ("cmp-k1024", {"cmp.block_k": 1024}),
 ]
 
 
@@ -117,7 +125,10 @@ def main() -> None:
         bwd = _best_of(["flags-on", "bwd-wink256", "bwd-wink128",
                         "bwd-k256-all"])
         proj = _best_of(["flags-on", "proj-fused"])
-        combo = {**fwd["overrides"], **bwd["overrides"], **proj["overrides"]}
+        sel = _best_of(["flags-on", "sel-kb12", "sel-bwd-kb12"])
+        cmp_ = _best_of(["flags-on", "cmp-k1024"])
+        combo = {**fwd["overrides"], **bwd["overrides"], **proj["overrides"],
+                 **sel["overrides"], **cmp_["overrides"]}
         if combo and all(combo != r.get("overrides") for r in results):
             rec = run_variant("combo", combo, args)
             with open(log, "a") as f:
