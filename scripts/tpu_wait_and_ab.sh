@@ -19,3 +19,9 @@ done
 echo "[$(date +%T)] running A/B queue" | tee -a "$LOG"
 python bench/run_ab_queue.py 2>&1 | tee -a artifacts/ab_queue_run.log
 echo "[$(date +%T)] A/B queue done (exit $?)" | tee -a "$LOG"
+# hands-free follow-ups (winner selection stays manual — see CLAUDE.md):
+echo "[$(date +%T)] odd-h Mosaic parity probe" | tee -a "$LOG"
+timeout 900 python scripts/tpu_oddh_probe.py 2>&1 | tee -a "$LOG"
+echo "[$(date +%T)] decode guard bench" | tee -a "$LOG"
+timeout 1800 python bench.py 2>&1 | tee artifacts/bench_after_ab.json | tee -a "$LOG"
+echo "[$(date +%T)] all on-device follow-ups done" | tee -a "$LOG"
