@@ -24,4 +24,7 @@ echo "[$(date +%T)] odd-h Mosaic parity probe" | tee -a "$LOG"
 timeout 900 python scripts/tpu_oddh_probe.py 2>&1 | tee -a "$LOG"
 echo "[$(date +%T)] decode guard bench" | tee -a "$LOG"
 timeout 1800 python bench.py 2>&1 | tee artifacts/bench_after_ab.json | tee -a "$LOG"
+echo "[$(date +%T)] train-step profile (top device ops)" | tee -a "$LOG"
+timeout 1800 python bench/profile_analyze.py --batch 16 --seq 2048 \
+  > artifacts/profile_top_ops.txt 2>&1
 echo "[$(date +%T)] all on-device follow-ups done" | tee -a "$LOG"
