@@ -52,6 +52,11 @@ VARIANTS = [
     # cmp fwd kv tiles: prefix-mode tiles are mostly fully-live, so wider
     # tiles amortize per-step overhead without masking cost
     ("cmp-k1024", {"cmp.block_k": 1024}),
+    # fused scorer tiles: wider q-tiles amortize the per-step top-n
+    # selection loop; wider cmp chunks cut grid steps (VMEM-gated by
+    # scorer_fits_vmem; interpret-parity-checked incl. selection sets)
+    ("scorer-q256", {"scorer.block_q": 256}),
+    ("scorer-chunk1024", {"scorer.cmp_chunk": 1024}),
 ]
 
 
@@ -127,8 +132,9 @@ def main() -> None:
         proj = _best_of(["flags-on", "proj-fused"])
         sel = _best_of(["flags-on", "sel-kb12", "sel-bwd-kb12"])
         cmp_ = _best_of(["flags-on", "cmp-k1024"])
+        scorer = _best_of(["flags-on", "scorer-q256", "scorer-chunk1024"])
         combo = {**fwd["overrides"], **bwd["overrides"], **proj["overrides"],
-                 **sel["overrides"], **cmp_["overrides"]}
+                 **sel["overrides"], **cmp_["overrides"], **scorer["overrides"]}
         if combo and all(combo != r.get("overrides") for r in results):
             rec = run_variant("combo", combo, args)
             with open(log, "a") as f:
