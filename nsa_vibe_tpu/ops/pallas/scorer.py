@@ -132,7 +132,7 @@ def _scorer_topn(acc, l_run, tpos, o_ref, *, l_sel, n_top, n_forced,
     composite = scores - blk.astype(jnp.float32) * 1e-8
 
     picks = [jnp.broadcast_to(fc, (block_q, 1)) for fc in forced_cols]
-    k_rest = n_top - n_forced
+    k_rest = n_top - n_forced     # <= 0 -> forced slots only (n_out columns)
     lane = blk                                                        # [1, S_sel]
     for _ in range(k_rest):
         mx = jnp.argmax(composite, axis=-1).astype(jnp.int32)         # [Tq]
@@ -163,9 +163,12 @@ def nsa_select_pallas(
     interpret: bool = False,
     h_real: "int | None" = None,
 ) -> jnp.ndarray:
-    """Returns sel_idx [B, S, G, n_top] int32 (set representation; see
-    module docstring). h_real: real head count when Q carries a zero pad
-    head (odd heads-per-group; see attention._pad_odd_heads)."""
+    """Returns sel_idx [B, S, G, max(n_top, n_forced)] int32 (set
+    representation; see module docstring — width exceeds n_top when the
+    forced init/local slots alone exceed it, matching
+    ops.selection.select_topn_blocks). h_real: real head count when Q
+    carries a zero pad head (odd heads-per-group; see
+    attention._pad_odd_heads)."""
     B, S, G, h, Dk = Q.shape
     S_cmp, S_sel = M_csl.shape
     if S_cmp == 0:
@@ -175,7 +178,7 @@ def nsa_select_pallas(
         t_pos = jnp.asarray(pos_offset, jnp.int32) + jnp.arange(S, dtype=jnp.int32)
         f = forced_block_ids(t_pos, l_sel, force_init, force_local)   # [S,F]
         F = f.shape[-1]
-        out = jnp.full((B, S, G, n_top), -1, jnp.int32)
+        out = jnp.full((B, S, G, max(n_top, F)), -1, jnp.int32)
         return out.at[..., :F].set(jnp.broadcast_to(f[None, :, None, :], (B, S, G, F)))
 
     block_q = min(block_q, max(S, 8))
@@ -183,6 +186,9 @@ def nsa_select_pallas(
     nq = pl.cdiv(S, block_q)
     n_chunks = pl.cdiv(S_cmp, cmp_chunk)
     n_forced = (1 if force_init else 0) + force_local
+    # the kernel emits the forced slots plus max(0, n_top - n_forced) top
+    # picks — n_out columns; > n_top only for degenerate n_top < n_forced
+    n_out = max(n_top, n_forced)
     rows = block_q * h
 
     # zero-pad the chunked axes: OOB block reads return garbage memory and
@@ -215,7 +221,7 @@ def nsa_select_pallas(
                 pl.BlockSpec((cmp_chunk, S_sel), lambda b, g, qt, c, *_: (c, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, n_top),
+            out_specs=pl.BlockSpec((1, 1, block_q, n_out),
                                    lambda b, g, qt, c, *_: (b, g, qt, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -224,7 +230,7 @@ def nsa_select_pallas(
                 pltpu.VMEM((rows, S_sel), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, G, S, n_top), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((B, G, S, n_out), jnp.int32),
         interpret=interpret,
     )(t0, Q, K_cmp, M_f)
     return out.transpose(0, 2, 1, 3)
@@ -338,7 +344,8 @@ def nsa_select_and_cmp_pallas(
     h_real: "int | None" = None,
 ):
     """Fused selection + compressed attention. Returns
-    (sel_idx [B,S,G,n_top] i32, O_cmp [B,S,G,h,Dv],
+    (sel_idx [B,S,G,max(n_top,n_forced)] i32 (see nsa_select_pallas),
+    O_cmp [B,S,G,h,Dv],
     lse [B*G,1,stats_rows(S,h)] f32 — flat row stats, see flash.stats_rows)."""
     B, S, G, h, Dk = Q.shape
     Dv = V_cmp.shape[3]
@@ -348,6 +355,7 @@ def nsa_select_and_cmp_pallas(
     nq = pl.cdiv(S, block_q)
     n_chunks = pl.cdiv(S_cmp, cmp_chunk)
     n_forced = (1 if force_init else 0) + force_local
+    n_out = max(n_top, n_forced)
     rows = block_q * h
 
     pad = n_chunks * cmp_chunk - S_cmp
@@ -383,7 +391,7 @@ def nsa_select_and_cmp_pallas(
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, block_q, n_top),
+                pl.BlockSpec((1, 1, block_q, n_out),
                              lambda b, g, qt, c, *_: (b, g, qt, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_q, 1, h, Dv),
@@ -401,7 +409,7 @@ def nsa_select_and_cmp_pallas(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, G, S, n_top), jnp.int32),
+            jax.ShapeDtypeStruct((B, G, S, n_out), jnp.int32),
             jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype),
             jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32),
         ],

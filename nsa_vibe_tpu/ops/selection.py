@@ -105,8 +105,10 @@ def select_topn_blocks(
     """Deterministic top-n selection-block choice (Eq. 11-12).
 
     p_grp: [B,S,G,S_sel] group scores; t_pos: [S] absolute query positions.
-    Returns sel_idx [B,S,G,n_top] int32: unique block indices sorted
-    ascending, -1 padding at the tail.
+    Returns sel_idx [B,S,G,max(n_top,n_forced)] int32: unique block
+    indices sorted ascending, -1 padding at the tail (width exceeds n_top
+    only for degenerate configs whose forced init/local slots alone
+    exceed it; the Pallas scorer emits the same width).
     """
     B, S, G, S_sel = p_grp.shape
     t_pos = t_pos.astype(jnp.int32)

@@ -80,6 +80,13 @@ def main() -> None:
             # promotion of the CPU 4k test into the readiness gate
             rc, log = run([sys.executable, "bench/needle_e2e.py"], timeout=3600)
             status = "pass" if rc == 0 else "fail"
+        elif g == "acceptance":
+            # M7 showcase acceptance: char-LM to val PPL < 3.0 (opt-in —
+            # ~15 min CPU / ~1 min TPU)
+            rc, log = run([sys.executable, "scripts/showcase_acceptance.py",
+                           "--out-dir", os.path.join(args.out, "acceptance")],
+                          timeout=3600)
+            status = "pass" if rc == 0 else "fail"
         elif g == "bench":
             rc, log = run([sys.executable, "bench.py"], timeout=3600)
             status = "pass" if rc == 0 else "fail"
