@@ -60,6 +60,41 @@ def test_fuzz_prefill_parity(S, dim, H, G, dk, dv, l, d, lsel, nsel, w):
     assert float(jnp.abs(got - ref).max()) < 2e-4
 
 
+def test_fuzz_decode_parity():
+    """Random configs through the decode scan: prefill-via-decode must
+    reproduce batched prefill (cache rings + emission schedule hit the
+    same long-tail shapes — S < l means nothing ever emits, capacity
+    rounding, w > S windows)."""
+    import random
+
+    from nsa_vibe_tpu.core.cache import init_cache
+    from nsa_vibe_tpu.core.decode import nsa_prefill_via_decode
+
+    rnd = random.Random(4242)
+    for trial in range(3):
+        G = rnd.choice([1, 2])
+        H = G * rnd.choice([1, 2, 3])
+        l = rnd.choice([8, 16])
+        cfg = NSAConfig(
+            dim=rnd.choice([64, 96]), n_heads=H, n_kv_groups=G,
+            d_k=rnd.choice([16, 32]), d_v=rnd.choice([16, 32]),
+            l=l, d=l // 2, l_sel=rnd.choice([8, 16]),
+            n_sel=rnd.randint(2, 6), w=rnd.choice([8, 32, 128]),
+            kernel="reference",
+        )
+        S = rnd.randint(1, 70)
+        key = jax.random.PRNGKey(9000 + trial)
+        params = init_nsa_params(key, cfg, jnp.float32)
+        x = jax.random.normal(jax.random.fold_in(key, 1),
+                              (1, S, cfg.dim), jnp.float32)
+        out_b, _ = nsa_prefill(params, x, cfg)
+        cache = init_cache(cfg, 1, capacity=max(S, cfg.l, 8))
+        out_s, cache = nsa_prefill_via_decode(params, x, cache, cfg)
+        mae = float(jnp.abs(out_b - out_s).max())
+        assert mae < 3e-5, (trial, cfg, S, mae)
+        assert int(cache.t) == S
+
+
 def test_fuzz_random_configs():
     """A handful of fully random (but seeded) configs, same invariants."""
     import random
