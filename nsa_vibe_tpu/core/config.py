@@ -113,6 +113,10 @@ class TrainConfig:
                                # count fails loudly in make_mesh)
     tp: int = 1                # tensor-parallel (head/group) axis size
     sp: int = 1                # sequence-parallel axis size (context-parallel attention)
+    pp: int = 1                # pipeline-parallel stage count (GPipe-style
+                               # microbatch pipelining over a pp mesh axis;
+                               # parallel/pipeline.py)
+    pp_microbatches: int = 0   # microbatches per step for pp (0 = pp)
     fsdp: bool = False         # fully shard params/optimizer over dp (ZeRO-3)
     fsdp_min_size: int = 512   # axes shorter than this stay replicated
     # varlen/document-masked packed batching (ops.varlen): batches carry

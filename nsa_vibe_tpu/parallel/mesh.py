@@ -32,21 +32,24 @@ def initialize_distributed(coordinator: Optional[str] = None) -> None:
 
 
 def make_mesh(
-    dp: Optional[int] = None, tp: int = 1, sp: int = 1,
+    dp: Optional[int] = None, tp: int = 1, sp: int = 1, pp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """(dp, sp, tp) mesh: batch over dp, sequence over sp (context-parallel
-    prefill, parallel/context.py), heads/hidden over tp."""
+    """(dp, pp, sp, tp) mesh: batch over dp, pipeline stages over pp
+    (parallel/pipeline.py), sequence over sp (context-parallel prefill,
+    parallel/context.py), heads/hidden over tp. pp is adjacent-heavy
+    traffic (stage-to-stage activations), so it sits next to the minor
+    axes where mesh neighbors are ICI neighbors."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        if n % (tp * sp) != 0:
-            raise ValueError(f"{n} devices not divisible by sp*tp={sp * tp}")
-        dp = n // (tp * sp)
-    if dp * sp * tp != n:
-        raise ValueError(f"mesh {dp}x{sp}x{tp} != {n} devices")
-    arr = np.asarray(devices).reshape(dp, sp, tp)
-    return Mesh(arr, ("dp", "sp", "tp"))
+        if n % (tp * sp * pp) != 0:
+            raise ValueError(f"{n} devices not divisible by pp*sp*tp={pp * sp * tp}")
+        dp = n // (tp * sp * pp)
+    if dp * pp * sp * tp != n:
+        raise ValueError(f"mesh {dp}x{pp}x{sp}x{tp} != {n} devices")
+    arr = np.asarray(devices).reshape(dp, pp, sp, tp)
+    return Mesh(arr, ("dp", "pp", "sp", "tp"))
 
 
 # --- sharding rules -------------------------------------------------------

@@ -1,0 +1,220 @@
+"""Pipeline parallelism over a mesh `pp` axis (GPipe-style microbatching).
+
+The reference scales with DDP/FSDP only (SURVEY.md §2.4: no TP/PP/SP
+anywhere in the tree). This module adds the remaining mesh dimension for
+pod-scale training: transformer blocks are split into `pp` contiguous
+stages, microbatches flow stage-to-stage over ICI via `ppermute`, and
+XLA differentiates the whole schedule (the backward pipeline falls out
+of autodiff of the forward scan — `ppermute` transposes to the reverse
+permutation, `lax.scan` to a reverse-time scan).
+
+Design (idiomatic SPMD pipelining, cf. the public scaling-book recipe):
+
+  * per-layer block params are STACKED on a leading [L] axis and sharded
+    over `pp` (each stage holds L/pp layers; `stack_blocks` /
+    `unstack_blocks` convert to/from the list-of-dicts layout used
+    everywhere else, so checkpoints and inits stay shared);
+  * one program runs on every stage: at tick t, stage p computes
+    microbatch t-p (bubble ticks compute on zeros and are masked out);
+    stage 0 ingests embeddings, stage pp-1 accumulates outputs;
+  * embedding / final norm / LM head are replicated (they are tiny next
+    to the blocks) and the loss is computed on the last stage, then
+    psum-broadcast — activations never round-trip to the host;
+  * composes with data parallelism (mesh ("dp","pp","sp","tp"), batch
+    rows over dp). tp/sp/fsdp/varlen do not compose with pp yet and are
+    rejected loudly at setup.
+
+Bubble fraction is (pp-1)/(M+pp-1) for M microbatches per step; M
+defaults to the accumulated batch's natural split (tcfg.pp_microbatches
+or pp). Decode/generation stays single-stage (pipelining a 1-token step
+is all bubble); pp is a training-throughput feature.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nsa_vibe_tpu.core.config import ModelConfig
+from nsa_vibe_tpu.models.llama_block import block_prefill, rmsnorm
+from nsa_vibe_tpu.models.tinylm import cross_entropy_loss
+from nsa_vibe_tpu.parallel.context import shard_map
+
+
+def stack_blocks(params: dict) -> dict:
+    """List-of-per-layer-dicts -> one pytree with leading [L] axes."""
+    blocks: List[dict] = params["blocks"]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return {**params, "blocks": stacked}
+
+
+def unstack_blocks(params: dict, n_layers: int) -> dict:
+    """Inverse of stack_blocks (checkpoint interchange with the
+    list-layout consumers: model_forward, generate, eval)."""
+    blocks = [
+        jax.tree_util.tree_map(lambda x: x[i], params["blocks"])
+        for i in range(n_layers)
+    ]
+    return {**params, "blocks": blocks}
+
+
+def pipeline_param_specs(params_stacked: dict) -> dict:
+    """PartitionSpec pytree: stacked blocks shard their leading layer
+    axis over pp; everything else is replicated."""
+    return {
+        k: jax.tree_util.tree_map(
+            lambda _: P("pp") if k == "blocks" else P(), v
+        )
+        for k, v in params_stacked.items()
+    }
+
+
+def pipeline_param_shardings(params_stacked: dict, mesh: Mesh) -> dict:
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        pipeline_param_specs(params_stacked),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
+                    collect_aux: bool):
+    """Runs INSIDE shard_map on every (dp, pp) mesh member.
+    toks: this dp shard's [B_local, S+1] rows (replicated over pp).
+    Returns (loss, gates [L,B_local,S,G,3] | None, sel [L,B_local,S,G,n] | None);
+    loss is psum'd over pp and pmean'd over dp (identical everywhere)."""
+    cfg = mcfg.nsa
+    B, S1 = toks.shape
+    S = S1 - 1
+    Bm = B // M
+    dtype = jnp.dtype(mcfg.dtype)
+    p = jax.lax.axis_index("pp")
+
+    inp_tok = toks[:, :-1].reshape(M, Bm, S)
+    x_mb = params["embed"][inp_tok].astype(dtype)          # [M,Bm,S,D]
+    blocks = params["blocks"]                              # leaves [Lp, ...]
+    Lp = blocks["attn_norm"].shape[0]
+
+    def run_block(x, bp):
+        y, aux = block_prefill(bp, x, mcfg)
+        y = y.astype(x.dtype)      # residual adds promote; scan carry is fixed
+        if not collect_aux:
+            return y, 0
+        return y, {"gates": aux["gates"].astype(jnp.float32),
+                   "sel_idx": aux["sel_idx"]}
+
+    if mcfg.remat in (True, "full"):
+        run_block = jax.checkpoint(run_block)
+
+    def run_stage(x):
+        return jax.lax.scan(run_block, x, blocks)          # aux leaves [Lp,...]
+
+    D = cfg.dim
+    G, n = cfg.n_kv_groups, cfg.n_sel
+    state0 = jnp.zeros((Bm, S, D), dtype)
+    out0 = jnp.zeros((M, Bm, S, D), dtype)
+    aux0 = (
+        (jnp.zeros((M, Lp, Bm, S, G, 3), jnp.float32),
+         jnp.zeros((M, Lp, Bm, S, G, n), jnp.int32))
+        if collect_aux else 0
+    )
+
+    def tick(carry, t):
+        state, out_buf, aux_buf = carry
+        mb = jnp.clip(t - p, 0, M - 1)      # this stage's microbatch index
+        valid = (t - p >= 0) & (t - p < M)
+        inp = jnp.where(p == 0, x_mb[jnp.clip(t, 0, M - 1)], state)
+        y, auxes = run_stage(inp)
+        # last stage banks microbatch t-(pp-1) (t <= M+pp-2 so index < M)
+        write = (p == pp - 1) & valid
+        upd = jax.lax.dynamic_update_slice(
+            out_buf, y[None].astype(out_buf.dtype), (mb, 0, 0, 0))
+        out_buf = jnp.where(write, upd, out_buf)
+        if collect_aux:
+            g_buf, s_buf = aux_buf
+            g_upd = jax.lax.dynamic_update_slice(
+                g_buf, auxes["gates"][None], (mb, 0, 0, 0, 0, 0))
+            s_upd = jax.lax.dynamic_update_slice(
+                s_buf, auxes["sel_idx"][None], (mb, 0, 0, 0, 0, 0))
+            aux_buf = (jnp.where(valid, g_upd, g_buf),
+                       jnp.where(valid, s_upd, s_buf))
+        # hand this tick's activation to the next stage (no wraparound:
+        # stage 0 reads embeddings, so its ppermute receive — zeros — is
+        # dead; XLA overlaps the transfer with the next tick's compute)
+        state = jax.lax.ppermute(y, "pp", [(i, i + 1) for i in range(pp - 1)])
+        return (state, out_buf, aux_buf), None
+
+    (_, out_buf, aux_buf), _ = jax.lax.scan(
+        tick, (state0, out0, aux0), jnp.arange(M + pp - 1))
+
+    # loss (last stage holds the real outputs; other stages CE over the
+    # zeros buffer and are masked out before the psum)
+    x = rmsnorm(out_buf, params["final_norm"], mcfg.rmsnorm_eps)
+    logits = x @ params["lm_head"]                          # [M,Bm,S,V]
+    labels = toks[:, 1:].reshape(M, Bm, S)
+    loss_local = cross_entropy_loss(
+        logits.reshape(B, S, -1), labels.reshape(B, S))
+    loss = jax.lax.psum(
+        loss_local * (p == pp - 1).astype(loss_local.dtype), "pp")
+    loss = jax.lax.pmean(loss, "dp")
+
+    if not collect_aux:
+        z = jnp.zeros((), jnp.float32)
+        return loss, z, z
+    g_buf, s_buf = aux_buf                                  # [M,Lp,Bm,...]
+    gates = g_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S, G, 3)
+    sel = s_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S, G, n)
+    # stage-major layer order == global layer order (stage s holds layers
+    # [s*Lp, (s+1)*Lp)), so a tiled gather on the layer axis reassembles L
+    gates = jax.lax.all_gather(gates, "pp", axis=0, tiled=True)
+    sel = jax.lax.all_gather(sel, "pp", axis=0, tiled=True)
+    return loss, gates, sel
+
+
+def pipeline_model_loss(
+    params_stacked: dict,
+    tokens: jnp.ndarray,
+    mcfg: ModelConfig,
+    mesh: Mesh,
+    microbatches: int = 0,
+    collect_aux: bool = False,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """Pipeline-parallel loss. tokens: [B, S+1] int32 (B = global batch,
+    sharded over dp). params_stacked: stack_blocks() layout with blocks
+    sharded over pp. Differentiable; grads come back with the params'
+    shardings (stage-local block grads, psum'd replicated grads for
+    embed/head — the transpose of the replicated in_spec).
+
+    Returns (loss, (gates [L,B,S,G,3], sel_idx [L,B,S,G,n]) | None) —
+    the same observability contract as model_forward(collect_aux=True),
+    so the watchdog's gate-collapse detection stays live under pp."""
+    pp = mesh.shape["pp"]
+    if pp <= 1:
+        raise ValueError("pipeline_model_loss needs a pp>1 mesh axis")
+    for ax in ("sp", "tp"):
+        if mesh.shape.get(ax, 1) > 1:
+            raise ValueError(f"pp does not compose with {ax}>1 yet")
+    L = mcfg.n_layers
+    if L % pp != 0:
+        raise ValueError(f"n_layers={L} not divisible by pp={pp}")
+    dp = mesh.shape["dp"]
+    B = tokens.shape[0]
+    M = microbatches or pp
+    if (B // dp) % M != 0:
+        raise ValueError(
+            f"per-dp-shard batch {B // dp} not divisible by microbatches={M}")
+
+    def local_fn(params, toks):
+        return _pipeline_local(params, toks, mcfg, M, pp, collect_aux)
+
+    aux_spec = P(None, "dp", None, None, None)
+    loss, gates, sel = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(pipeline_param_specs(params_stacked), P("dp", None)),
+        out_specs=(P(), aux_spec, aux_spec) if collect_aux else (P(), P(), P()),
+        check_rep=False,
+    )(params_stacked, tokens)
+    return loss, ((gates, sel) if collect_aux else None)

@@ -61,10 +61,21 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     """
     optimizer = make_optimizer(tcfg)
     use_cp = mesh is not None and tcfg.sp > 1
+    use_pp = mesh is not None and tcfg.pp > 1
+    if use_pp and (tcfg.varlen or tcfg.sp > 1 or tcfg.tp > 1 or tcfg.fsdp):
+        raise ValueError("pp composes with dp only (no varlen/sp/tp/fsdp yet)")
 
     collect = tcfg.gate_stats
 
     def loss_fn(params, tok_row):
+        if use_pp:
+            from nsa_vibe_tpu.parallel.pipeline import pipeline_model_loss
+
+            loss, aux = pipeline_model_loss(
+                params, tok_row, mcfg, mesh,
+                microbatches=tcfg.pp_microbatches, collect_aux=collect,
+            )
+            return loss, aux
         if tcfg.varlen:
             # tok_row = (tokens [B,S+1], seq_start [B,S], loss_mask [B,S])
             toks, seq_start, loss_mask = tok_row
@@ -216,11 +227,20 @@ def build_state_and_step(params, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None
 
     batch_shard = None
     if mesh is not None:
-        params = jax.device_put(
-            params,
-            param_shardings(params, mesh, fsdp=tcfg.fsdp,
-                            fsdp_min=tcfg.fsdp_min_size),
-        )
+        if tcfg.pp > 1:
+            from nsa_vibe_tpu.parallel.pipeline import (
+                pipeline_param_shardings,
+                stack_blocks,
+            )
+
+            params = stack_blocks(params)
+            params = jax.device_put(params, pipeline_param_shardings(params, mesh))
+        else:
+            params = jax.device_put(
+                params,
+                param_shardings(params, mesh, fsdp=tcfg.fsdp,
+                                fsdp_min=tcfg.fsdp_min_size),
+            )
         batch_shard = NamedSharding(mesh, P(None, "dp", None))  # [accum, B, S+1]
     state = init_train_state(params, tcfg)
     if mesh is not None:

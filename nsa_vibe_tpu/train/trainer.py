@@ -95,7 +95,7 @@ def apply_overrides(mcfg: ModelConfig, tcfg: TrainConfig, args) -> tuple[ModelCo
         k: getattr(args, k)
         for k in ("steps", "batch_size", "seq_len", "accum_steps", "lr", "seed",
                   "save_every", "eval_every", "log_every", "out_dir", "dp", "tp",
-                  "sp", "fsdp", "varlen")
+                  "sp", "pp", "pp_microbatches", "fsdp", "varlen")
         if getattr(args, k, None) is not None
     }
     if t_over:
@@ -156,16 +156,23 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
     n_dev = len(jax.devices())
     # dp=0 means "infer from devices"; an explicit dp that mismatches the
     # device count raises in make_mesh rather than silently "working"
-    mesh = (make_mesh(dp=tcfg.dp or None, tp=tcfg.tp, sp=tcfg.sp)
+    mesh = (make_mesh(dp=tcfg.dp or None, tp=tcfg.tp, sp=tcfg.sp, pp=tcfg.pp)
             if n_dev > 1 else None)
-    if n_dev == 1 and tcfg.dp > 1:
-        raise ValueError(f"dp={tcfg.dp} requested but only 1 device visible")
+    if n_dev == 1 and (tcfg.dp > 1 or tcfg.pp > 1):
+        raise ValueError(
+            f"dp={tcfg.dp}/pp={tcfg.pp} requested but only 1 device visible")
 
     key = jax.random.PRNGKey(tcfg.seed)
     dtype = jnp.dtype(mcfg.dtype)
     params = init_model_params(key, mcfg, dtype)
     step_fn, state, batch_shard = build_state_and_step(params, mcfg, tcfg, mesh)
-    eval_fn = jax.jit(make_eval_step(mcfg, varlen=tcfg.varlen))
+    if tcfg.pp > 1:
+        from nsa_vibe_tpu.parallel.pipeline import pipeline_model_loss
+
+        eval_fn = jax.jit(lambda p, t: pipeline_model_loss(
+            p, t, mcfg, mesh, microbatches=tcfg.pp_microbatches)[0])
+    else:
+        eval_fn = jax.jit(make_eval_step(mcfg, varlen=tcfg.varlen))
 
     ckpt_dir = os.path.join(run_dir, "ckpt")
     start_step = 0
@@ -396,6 +403,10 @@ def main() -> None:
     ap.add_argument("--out-dir", dest="out_dir", default=None)
     ap.add_argument("--dp", type=int, default=None)
     ap.add_argument("--tp", type=int, default=None)
+    ap.add_argument("--pp", type=int, default=None,
+                    help="pipeline-parallel stages (GPipe microbatching)")
+    ap.add_argument("--pp-microbatches", dest="pp_microbatches", type=int,
+                    default=None, help="microbatches per step under --pp (0=pp)")
     ap.add_argument("--sp", type=int, default=None,
                     help="sequence-parallel axis (context-parallel attention)")
     ap.add_argument("--fsdp", action="store_true", default=None,

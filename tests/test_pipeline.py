@@ -1,0 +1,153 @@
+"""Pipeline-parallel (GPipe microbatch) parity.
+
+Runs on the 8-virtual-device CPU mesh (conftest). Oracle: single-device
+model_forward + cross_entropy_loss. Covers loss parity, gradient parity
+(stage-sharded block grads AND psum'd replicated embed/head grads),
+gate/selection observability, and the integrated train step.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig, TrainConfig
+from nsa_vibe_tpu.models.tinylm import (
+    cross_entropy_loss,
+    init_model_params,
+    model_forward,
+)
+from nsa_vibe_tpu.parallel.mesh import make_mesh
+from nsa_vibe_tpu.parallel.pipeline import (
+    pipeline_model_loss,
+    stack_blocks,
+    unstack_blocks,
+)
+from nsa_vibe_tpu.parallel.train_step import build_state_and_step
+
+NSA = NSAConfig(dim=64, n_heads=4, n_kv_groups=2, d_k=32, d_v=32,
+                l=8, d=4, l_sel=16, n_sel=4, w=16, kernel="reference")
+MCFG = ModelConfig(vocab_size=61, n_layers=4, nsa=NSA, dtype="float32")
+
+
+def _setup(B=4, S=64, mcfg=MCFG, seed=0):
+    params = init_model_params(jax.random.PRNGKey(seed), mcfg)
+    toks = jax.random.randint(jax.random.PRNGKey(seed + 1), (B, S + 1),
+                              0, mcfg.vocab_size, jnp.int32)
+    return params, toks
+
+
+def _ref_loss(params, toks, mcfg=MCFG):
+    logits, _ = model_forward(params, toks[:, :-1], mcfg)
+    return cross_entropy_loss(logits, toks[:, 1:])
+
+
+@pytest.mark.parametrize("pp,dp,M", [(2, 1, 2), (4, 2, 2), (4, 1, 4), (2, 4, 1)])
+def test_pp_loss_matches_single_device(pp, dp, M):
+    params, toks = _setup()
+    mesh = make_mesh(dp=dp, pp=pp, devices=jax.devices()[: dp * pp])
+    ref = float(jax.jit(_ref_loss)(params, toks))
+    got = float(jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=M)[0]
+    )(stack_blocks(params), toks))
+    assert abs(got - ref) < 1e-5, (pp, dp, M, got, ref)
+
+
+def test_pp_gradients_match():
+    params, toks = _setup()
+    mesh = make_mesh(dp=2, pp=4, devices=jax.devices()[:8])
+    g_ref = jax.jit(jax.grad(_ref_loss))(params, toks)
+    g_pp = jax.jit(jax.grad(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2)[0]
+    ))(stack_blocks(params), toks)
+    g_pp = unstack_blocks(g_pp, MCFG.n_layers)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves(g_pp),
+    ):
+        mae = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        scale = float(jnp.abs(jnp.asarray(a)).max()) + 1e-8
+        assert mae / scale < 1e-4, (jax.tree_util.keystr(path), mae, scale)
+
+
+def test_pp_collect_aux_matches():
+    params, toks = _setup()
+    mesh = make_mesh(dp=1, pp=4, devices=jax.devices()[:4])
+    logits, auxes = jax.jit(
+        lambda p, t: model_forward(p, t, MCFG, collect_aux=True)
+    )(params, toks[:, :-1])
+    gates_ref = jnp.stack([a["gates"] for a in auxes]).astype(jnp.float32)
+    sel_ref = jnp.stack([a["sel_idx"] for a in auxes])
+    _, (gates, sel) = jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, collect_aux=True)
+    )(stack_blocks(params), toks)
+    assert gates.shape == gates_ref.shape
+    # selection block ids are exact ints; gate probabilities to fp tol
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
+    assert float(jnp.abs(gates - gates_ref).max()) < 1e-5
+
+
+def test_pp_train_step_matches_dp():
+    """Two steps of the integrated pp train step == the plain dp train
+    step (same tokens, same init): loss metric and updated params."""
+    params, _ = _setup()
+    tcfg = TrainConfig(steps=4, batch_size=4, seq_len=64, accum_steps=2,
+                       lr=1e-3, warmup_steps=1, gate_stats=True)
+    toks = jax.random.randint(jax.random.PRNGKey(7), (2, 2, 4, 65),
+                              0, MCFG.vocab_size, jnp.int32)
+
+    mesh_dp = make_mesh(dp=4, devices=jax.devices()[:4])
+    step_dp, state_dp, shard_dp = build_state_and_step(
+        params, MCFG, tcfg, mesh_dp)
+
+    tcfg_pp = dataclasses.replace(tcfg, pp=2, dp=2)
+    mesh_pp = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+    # fresh init (same seed): donation of one state must not delete the
+    # other's replicated buffers
+    params2 = init_model_params(jax.random.PRNGKey(0), MCFG)
+    step_pp, state_pp, shard_pp = build_state_and_step(
+        params2, MCFG, tcfg_pp, mesh_pp)
+
+    m_dp = m_pp = None
+    for i in range(2):
+        state_dp, m_dp = step_dp(state_dp, jax.device_put(toks[i], shard_dp))
+        state_pp, m_pp = step_pp(state_pp, jax.device_put(toks[i], shard_pp))
+        assert abs(float(m_dp["loss"]) - float(m_pp["loss"])) < 1e-5, i
+        assert bool(m_pp["good"])
+    # gate observability stays live under pp
+    assert float(m_pp["gate_entropy"]) > 0
+    assert abs(float(m_dp["gate_entropy"]) - float(m_pp["gate_entropy"])) < 1e-5
+    p_dp = jax.tree_util.tree_leaves(state_dp.params)
+    p_pp = jax.tree_util.tree_leaves(
+        unstack_blocks(state_pp.params, MCFG.n_layers))
+    for a, b in zip(p_dp, p_pp):
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+
+def test_pp_rejects_bad_composition():
+    params, _ = _setup()
+    tcfg = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, fsdp=True)
+    mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="pp composes"):
+        build_state_and_step(params, MCFG, tcfg, mesh)
+    with pytest.raises(ValueError, match="divisible"):
+        pipeline_model_loss(stack_blocks(params),
+                            jnp.zeros((4, 65), jnp.int32),
+                            dataclasses.replace(MCFG, n_layers=3),
+                            mesh)
+
+
+def test_pp_remat_and_bf16():
+    """Pipeline under remat + bf16 compute stays finite and close to the
+    non-pp bf16 loss (the m7c production settings)."""
+    mcfg = dataclasses.replace(MCFG, dtype="bfloat16", remat=True)
+    params, toks = _setup(mcfg=mcfg)
+    mesh = make_mesh(dp=1, pp=4, devices=jax.devices()[:4])
+    ref = float(jax.jit(lambda p, t: _ref_loss(p, t, mcfg))(params, toks))
+    got = float(jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, mcfg, mesh)[0]
+    )(stack_blocks(params), toks))
+    assert np.isfinite(got)
+    assert abs(got - ref) < 2e-2, (got, ref)
