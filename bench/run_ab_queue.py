@@ -35,6 +35,9 @@ VARIANTS = [
     ("fwd-wink256", {"win.block_k": 256}),
     ("fwd-wink512", {"win.block_k": 512}),
     ("fwd-winq128k128", {"win.block_q": 128, "win.block_k": 128}),
+    # 512-row q tiles halve the per-step overhead and fwd logits at
+    # bk=256 stay ~3 MB f32 (the earlier bq=512 OOM was at bk>=512)
+    ("fwd-winq512k256", {"win.block_q": 512, "win.block_k": 256}),
     # bwd win kv tiles: smaller tiles raise the fully-live pair fraction
     # (at w=512, bq=128: bk=512 -> 3/8 pairs fully live; bk=128 -> 3/6)
     ("bwd-wink256", {"win.bwd_block_k": 256}),
@@ -52,6 +55,7 @@ VARIANTS = [
     # cmp fwd kv tiles: prefix-mode tiles are mostly fully-live, so wider
     # tiles amortize per-step overhead without masking cost
     ("cmp-k1024", {"cmp.block_k": 1024}),
+    ("cmp-q512", {"cmp.block_q": 512}),
     # fused scorer tiles: wider q-tiles amortize the per-step top-n
     # selection loop; wider cmp chunks cut grid steps (VMEM-gated by
     # scorer_fits_vmem; interpret-parity-checked incl. selection sets)
@@ -126,12 +130,12 @@ def main() -> None:
             group = [ok[n] for n in names if n in ok]
             return max(group, key=lambda r: r["value"]) if group else None
         fwd = _best_of(["flags-on", "fwd-wink256", "fwd-wink512",
-                        "fwd-winq128k128"])
+                        "fwd-winq128k128", "fwd-winq512k256"])
         bwd = _best_of(["flags-on", "bwd-wink256", "bwd-wink128",
                         "bwd-k256-all"])
         proj = _best_of(["flags-on", "proj-fused"])
         sel = _best_of(["flags-on", "sel-kb12", "sel-bwd-kb12"])
-        cmp_ = _best_of(["flags-on", "cmp-k1024"])
+        cmp_ = _best_of(["flags-on", "cmp-k1024", "cmp-q512"])
         scorer = _best_of(["flags-on", "scorer-q256", "scorer-chunk1024"])
         combo = {**fwd["overrides"], **bwd["overrides"], **proj["overrides"],
                  **sel["overrides"], **cmp_["overrides"], **scorer["overrides"]}
