@@ -151,3 +151,27 @@ def test_pp_remat_and_bf16():
     )(stack_blocks(params), toks))
     assert np.isfinite(got)
     assert abs(got - ref) < 2e-2, (got, ref)
+
+
+def test_pp_checkpoint_roundtrip(tmp_path):
+    """Stacked-stage params + optimizer state survive an Orbax save/
+    restore with the pp shardings (sharded-restore contract)."""
+    from nsa_vibe_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    params, toks = _setup()
+    tcfg = TrainConfig(steps=2, batch_size=4, seq_len=64, pp=2, dp=2,
+                       lr=1e-3, warmup_steps=1)
+    mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+    step_fn, state, shard = build_state_and_step(params, MCFG, tcfg, mesh)
+    batch = jax.random.randint(jax.random.PRNGKey(3), (1, 4, 65),
+                               0, MCFG.vocab_size, jnp.int32)
+    state, _ = step_fn(state, jax.device_put(batch, shard))
+    save_checkpoint(str(tmp_path), 1, state)
+
+    params2 = init_model_params(jax.random.PRNGKey(0), MCFG)
+    _, state2, _ = build_state_and_step(params2, MCFG, tcfg, mesh)
+    restored = restore_checkpoint(str(tmp_path), state2)
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
