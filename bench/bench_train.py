@@ -35,6 +35,9 @@ def main() -> None:
     ap.add_argument("--kernel", default="auto")
     ap.add_argument("--no-stats", dest="no_stats", action="store_true",
                     help="disable per-step gate/selection stats collection")
+    ap.add_argument("--dp", type=int, default=0, help="data-parallel size (multi-chip)")
+    ap.add_argument("--pp", type=int, default=1,
+                    help="pipeline-parallel stages (multi-chip)")
     args = ap.parse_args()
 
     from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig, TrainConfig
@@ -46,14 +49,22 @@ def main() -> None:
     mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=nsa,
                        dtype="bfloat16", remat=args.remat)
     tcfg = TrainConfig(steps=args.steps, batch_size=args.batch, seq_len=args.seq,
-                       gate_stats=not args.no_stats)
+                       gate_stats=not args.no_stats, dp=args.dp, pp=args.pp)
+
+    mesh = None
+    if args.pp > 1 or args.dp > 1:
+        from nsa_vibe_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp or None, pp=args.pp)
 
     params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.bfloat16)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
-    step_fn, state, _ = build_state_and_step(params, mcfg, tcfg, mesh=None)
+    step_fn, state, batch_shard = build_state_and_step(params, mcfg, tcfg, mesh=mesh)
 
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.integers(0, 256, (1, args.batch, args.seq + 1)), jnp.int32)
+    if batch_shard is not None:
+        batch = jax.device_put(batch, batch_shard)
 
     # NOTE: on the remote (axon) platform block_until_ready can return
     # before execution completes — force a scalar host fetch to time
@@ -66,7 +77,8 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step_fn(state, batch)
-    _ = float(jax.tree_util.tree_leaves(state.params)[0][0, 0])  # full-chain sync
+    # full-chain sync (ravel: stacked pp leaves are >2-D)
+    _ = float(jnp.ravel(jax.tree_util.tree_leaves(state.params)[0])[0])
     dt = (time.perf_counter() - t0) / args.steps
     toks = args.batch * args.seq / dt
 
