@@ -1,0 +1,71 @@
+"""Summarize artifacts/ab_queue.jsonl and propose the merged tuning.
+
+Reads every record the A/B queue appended (bench/run_ab_queue.py),
+prints a ranked table, checks the two invariants (flags-off must
+reproduce the recorded baseline loss byte-identically; every variant's
+loss must match flags-off — a loss delta means a kernel bug, not a perf
+result), and emits the merged winner overrides.
+
+Run: python bench/ab_select.py [--write]   (--write merges the winning
+overrides into configs/kernel_tuning.json)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOG = os.path.join(REPO, "artifacts", "ab_queue.jsonl")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true")
+    ap.add_argument("--log", default=LOG)
+    args = ap.parse_args()
+
+    recs: dict = {}
+    with open(args.log) as f:
+        for ln in f:
+            r = json.loads(ln)
+            recs[r["variant"]] = r          # last run of a name wins
+
+    ok = {k: v for k, v in recs.items() if "value" in v}
+    errs = {k: v for k, v in recs.items() if "error" in v}
+    if not ok:
+        raise SystemExit("no successful runs in the log")
+    for name, r in sorted(ok.items(), key=lambda kv: -kv[1]["value"]):
+        print(f"{name:18s} {r['value']:>9.1f} toks/s  loss={r['loss']}  "
+              f"step={r['step_ms']}ms  {r.get('overrides', {})}")
+    for name, r in errs.items():
+        print(f"{name:18s} ERROR: {r['error'][-160:]}")
+
+    base = ok.get("flags-off")
+    losses = {round(float(r["loss"]), 4) for r in ok.values()}
+    if len(losses) > 1:
+        print(f"\nWARNING: losses differ across variants: {sorted(losses)} — "
+              "investigate before adopting any winner (tile changes must be "
+              "bit-identical)")
+    if base:
+        print(f"\nflags-off baseline: {base['value']:.1f} toks/s @ loss "
+              f"{base['loss']} (r2 record: 57.4k @ 5.5535)")
+
+    best = max(ok.values(), key=lambda r: r["value"])
+    print(f"\nbest: {best['variant']} @ {best['value']:.1f} toks/s")
+    overrides = best.get("overrides", {})
+    print("proposed overrides:", json.dumps(overrides))
+
+    if args.write and overrides is not None:
+        path = os.path.join(REPO, "configs", "kernel_tuning.json")
+        with open(path) as f:
+            merged = {**json.load(f), **overrides}
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=2)
+            f.write("\n")
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
