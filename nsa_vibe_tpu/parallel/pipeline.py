@@ -115,43 +115,26 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     D = cfg.dim
     G, n = cfg.n_kv_groups, cfg.n_sel
     state0 = jnp.zeros((Bm, S, D), dtype)
-    out0 = jnp.zeros((M, Bm, S, D), dtype)
-    aux0 = (
-        (jnp.zeros((M, Lp, Bm, S, G, 3), jnp.float32),
-         jnp.zeros((M, Lp, Bm, S, G, n), jnp.int32))
-        if collect_aux else 0
-    )
 
-    def tick(carry, t):
-        state, out_buf, aux_buf = carry
-        mb = jnp.clip(t - p, 0, M - 1)      # this stage's microbatch index
-        valid = (t - p >= 0) & (t - p < M)
+    def tick(state, t):
         inp = jnp.where(p == 0, x_mb[jnp.clip(t, 0, M - 1)], state)
         y, auxes = run_stage(inp)
-        # last stage banks microbatch t-(pp-1) (t <= M+pp-2 so index < M)
-        write = (p == pp - 1) & valid
-        upd = jax.lax.dynamic_update_slice(
-            out_buf, y[None].astype(out_buf.dtype), (mb, 0, 0, 0))
-        out_buf = jnp.where(write, upd, out_buf)
-        if collect_aux:
-            g_buf, s_buf = aux_buf
-            g_upd = jax.lax.dynamic_update_slice(
-                g_buf, auxes["gates"][None], (mb, 0, 0, 0, 0, 0))
-            s_upd = jax.lax.dynamic_update_slice(
-                s_buf, auxes["sel_idx"][None], (mb, 0, 0, 0, 0, 0))
-            aux_buf = (jnp.where(valid, g_upd, g_buf),
-                       jnp.where(valid, s_upd, s_buf))
         # hand this tick's activation to the next stage (no wraparound:
         # stage 0 reads embeddings, so its ppermute receive — zeros — is
         # dead; XLA overlaps the transfer with the next tick's compute)
         state = jax.lax.ppermute(y, "pp", [(i, i + 1) for i in range(pp - 1)])
-        return (state, out_buf, aux_buf), None
+        return state, (y, auxes)
 
-    (_, out_buf, aux_buf), _ = jax.lax.scan(
-        tick, (state0, out0, aux0), jnp.arange(M + pp - 1))
+    # scan stacks every tick's stage output; the valid window is a SLICE
+    # of the tick axis (stage p computes microbatch t-p at tick t), so no
+    # per-tick buffer writes/selects are needed: on the last stage ticks
+    # [pp-1, pp-1+M) are the final-layer outputs of microbatches 0..M-1.
+    _, (y_ticks, aux_ticks) = jax.lax.scan(
+        tick, state0, jnp.arange(M + pp - 1))
+    out_buf = y_ticks[pp - 1:]                              # [M,Bm,S,D]
 
-    # loss (last stage holds the real outputs; other stages CE over the
-    # zeros buffer and are masked out before the psum)
+    # loss (last stage holds the real outputs; other stages CE over
+    # bubble garbage and are masked out before the psum)
     x = rmsnorm(out_buf, params["final_norm"], mcfg.rmsnorm_eps)
     logits = x @ params["lm_head"]                          # [M,Bm,S,V]
     labels = toks[:, 1:].reshape(M, Bm, S)
@@ -164,7 +147,10 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     if not collect_aux:
         z = jnp.zeros((), jnp.float32)
         return loss, z, z
-    g_buf, s_buf = aux_buf                                  # [M,Lp,Bm,...]
+    # stage p's valid ticks are [p, p+M): one dynamic slice on the
+    # stacked tick axis recovers its microbatch-ordered aux
+    g_buf = jax.lax.dynamic_slice_in_dim(aux_ticks["gates"], p, M, 0)
+    s_buf = jax.lax.dynamic_slice_in_dim(aux_ticks["sel_idx"], p, M, 0)
     gates = g_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S, G, 3)
     sel = s_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S, G, n)
     # stage-major layer order == global layer order (stage s holds layers
