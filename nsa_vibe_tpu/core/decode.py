@@ -214,6 +214,46 @@ def nsa_decode_step(
     return out, new_cache, info
 
 
+def nsa_decode_step_ragged(
+    params: dict, x: jnp.ndarray, cache: NSACache, cfg: NSAConfig
+) -> Tuple[jnp.ndarray, NSACache, DecodeInfo]:
+    """One decode step with PER-ROW positions: cache.t is [B] — each
+    batch row sits at its own depth (the continuous-batching/serving
+    shape; the reference's NSA_KV is strictly single-stream, so ragged
+    batches there require one cache+step per row). A vmap of the uniform
+    step over rows: cache writes become per-row scatters, emission fires
+    per row on its own (s_raw - l) % d schedule, selection scores each
+    row's own compressed stream. Per-row semantics are identical to
+    nsa_decode_step (tested, tests/test_decode.py::test_ragged_*).
+
+    The selection branch uses the XLA gather path (the Pallas per-query
+    gather kernel takes one scalar t via scalar prefetch; a per-row t
+    variant is future work — the gather path measured 27.3 µs at S=4096).
+
+    x: [B, 1, dim]; cache.t: [B] int32. Returns (out, cache', info) with
+    info leaves carrying a leading per-row axis (reads_* are per-row).
+    """
+    cfg_r = cfg if cfg.kernel == "reference" else cfg.replace(kernel="reference")
+    n_buf = len(NSACache._fields) - 1          # all buffers, then t
+
+    def one(x_r, t_r, *bufs):
+        c = NSACache(*(b[None] for b in bufs), t=t_r)
+        out, c2, info = nsa_decode_step(params, x_r[None, None], c, cfg_r)
+        return out[0, 0], c2[:n_buf], info
+
+    bufs = [getattr(cache, f) for f in NSACache._fields[:-1]]
+    outs, new_bufs, infos = jax.vmap(one)(x[:, 0], cache.t, *bufs)
+    new_cache = NSACache(*(b[:, 0] for b in new_bufs), t=cache.t + 1)
+    info = DecodeInfo(
+        reads_pred=infos.reads_pred, reads_cmp=infos.reads_cmp,
+        reads_sel=infos.reads_sel, reads_win=infos.reads_win,
+        sel_valid_tokens=infos.sel_valid_tokens,
+        sel_idx=infos.sel_idx[:, 0], gates=infos.gates[:, 0],
+        overflow=infos.overflow,
+    )
+    return outs[:, None], new_cache, info
+
+
 def nsa_prefill_via_decode(
     params: dict, x: jnp.ndarray, cache: NSACache, cfg: NSAConfig
 ) -> Tuple[jnp.ndarray, NSACache]:

@@ -186,3 +186,65 @@ def test_decode_reads_trend_long_horizon(setup):
         d_cmp = cmps[tt] - cmps[tt - 1]
         want = 1 if (tt + 1 >= CFG.l and (tt + 1 - CFG.l) % CFG.d == 0) else 0
         assert d_cmp == want, (tt, d_cmp, want)
+
+
+def test_ragged_decode_matches_per_row_uniform(setup):
+    """Ragged step (per-row t) == running each row alone at its own
+    depth: outputs, cache contents, read counters, emission schedule."""
+    from nsa_vibe_tpu.core.decode import nsa_decode_step_ragged
+
+    params, x = setup
+    C = 64
+    depths = [1, 17, 40]   # straddle warmup l=8 and several emissions
+    B = len(depths)
+    xs = jax.random.normal(jax.random.PRNGKey(5), (B, 41, CFG.dim), jnp.float32)
+
+    # per-row single-stream caches at each depth
+    from nsa_vibe_tpu.core.decode import nsa_prefill_via_decode
+
+    rows = []
+    for i, t in enumerate(depths):
+        c = init_cache(CFG, 1, C)
+        _, c = nsa_prefill_via_decode(params, xs[i : i + 1, :t], c, CFG)
+        rows.append(c)
+    ragged = type(rows[0])(*[
+        jnp.concatenate([getattr(r, f) for r in rows], axis=0)
+        for f in rows[0]._fields[:-1]
+    ], t=jnp.asarray(depths, jnp.int32))
+
+    # three ragged steps vs three per-row uniform steps
+    x_new = jax.random.normal(jax.random.PRNGKey(6), (B, 3, CFG.dim), jnp.float32)
+    step_r = jax.jit(lambda p, xt, c: nsa_decode_step_ragged(p, xt, c, CFG))
+    step_u = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, CFG))
+    for k in range(3):
+        out_r, ragged, info_r = step_r(params, x_new[:, k : k + 1], ragged)
+        assert info_r.reads_pred.shape == (B,)
+        for i in range(B):
+            out_u, rows[i], info_u = step_u(
+                params, x_new[i : i + 1, k : k + 1], rows[i])
+            mae = float(jnp.abs(out_r[i : i + 1] - out_u).max())
+            assert mae < 1e-5, (k, i, mae)
+            assert int(info_r.reads_pred[i]) == int(info_u.reads_pred)
+            assert int(info_r.reads_cmp[i]) == int(info_u.reads_cmp)
+            np.testing.assert_array_equal(
+                np.asarray(info_r.sel_idx[i]), np.asarray(info_u.sel_idx[0]))
+    for f in ragged._fields[:-1]:
+        got = np.asarray(getattr(ragged, f))
+        want = np.concatenate([np.asarray(getattr(r, f)) for r in rows], axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-6, err_msg=f)
+    np.testing.assert_array_equal(
+        np.asarray(ragged.t), np.asarray([d + 3 for d in depths]))
+
+
+def test_ragged_decode_overflow_per_row(setup):
+    """overflow flags fire per row exactly when that row passes capacity."""
+    from nsa_vibe_tpu.core.decode import nsa_decode_step_ragged
+
+    params, _ = setup
+    C = 16
+    cache = init_cache(CFG, 2, C)
+    cache = cache._replace(t=jnp.asarray([C - 1, C], jnp.int32))
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 1, CFG.dim), jnp.float32)
+    _, _, info = jax.jit(
+        lambda p, xt, c: nsa_decode_step_ragged(p, xt, c, CFG))(params, x, cache)
+    assert not bool(info.overflow[0]) and bool(info.overflow[1])
