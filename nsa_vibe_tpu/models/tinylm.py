@@ -169,6 +169,90 @@ def _generate_scan_fn(mcfg: ModelConfig, n_new: int, temperature: float,
     return run
 
 
+def generate_ragged(
+    params: dict,
+    prompts: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    n_new: int,
+    mcfg: ModelConfig,
+    temperature: float = 0.0,
+    key: Optional[jax.Array] = None,
+    capacity: Optional[int] = None,
+    top_k: int = 0,
+    top_p: float = 1.0,
+) -> jnp.ndarray:
+    """Serve a batch of DIFFERENT-length prompts in one program.
+
+    prompts: [B, L_max] int32 (rows right-padded past their length);
+    prompt_lens: [B] int32. Returns sampled tokens [B, n_new]: row i's
+    first output continues position prompt_lens[i]-1 — no padding tokens
+    ever enter any row's attention (each row consumes its own prompt
+    stream token-by-token, then its own samples). One lax.scan of
+    L_max+n_new-1 uniform decode steps: positions stay row-aligned
+    because every row starts at 0, so this needs no per-row cache t (see
+    core.decode.nsa_decode_step_ragged for mid-stream admission, where
+    rows genuinely sit at different depths).
+
+    The reference has no ragged batch path at all (its NSA_KV is a
+    single stream; bench/bench_decode.py decodes one uniform batch).
+    Ingestion runs at decode throughput rather than batched-prefill
+    throughput — the continuous-batching trade; for a uniform batch use
+    generate_scan.
+    """
+    B, L_max = prompts.shape
+    capacity = capacity or L_max + n_new
+    if L_max + n_new > capacity:
+        raise ValueError(f"capacity {capacity} < prompt+new {L_max + n_new}")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    return _generate_ragged_fn(mcfg, n_new, float(temperature), capacity,
+                               int(top_k), float(top_p))(
+        params, prompts, prompt_lens.astype(jnp.int32), key)
+
+
+@functools.lru_cache(maxsize=32)
+def _generate_ragged_fn(mcfg: ModelConfig, n_new: int, temperature: float,
+                        capacity: int, top_k: int = 0, top_p: float = 1.0):
+    from nsa_vibe_tpu.utils.sampling import sample_logits
+
+    @jax.jit
+    def run(params, prompts, lens, key):
+        B, L_max = prompts.shape
+        caches = init_model_caches(mcfg, B, capacity,
+                                   jnp.dtype(mcfg.dtype))
+        T = L_max + n_new - 1
+        rows = jnp.arange(B)
+
+        def body(carry, inp):
+            last, caches, out_buf = carry
+            k_tick, key_t = inp
+            tok_in = jnp.where(k_tick < lens,
+                               jnp.take(prompts, jnp.clip(k_tick, 0, L_max - 1),
+                                        axis=1),
+                               last)
+            logits, caches = model_decode_step(params, tok_in[:, None],
+                                               caches, mcfg)
+            nxt = sample_logits(key_t, logits[:, -1], temperature, top_k,
+                                top_p).astype(prompts.dtype)
+            # row i's j-th output is sampled at tick lens[i]-1+j
+            j = k_tick - (lens - 1)
+            write = (j >= 0) & (j < n_new)
+            jc = jnp.clip(j, 0, n_new - 1)
+            out_buf = out_buf.at[rows, jc].set(
+                jnp.where(write, nxt, out_buf[rows, jc]))
+            last = jnp.where(write, nxt, last)
+            return (last, caches, out_buf), None
+
+        keys = jax.random.split(key, T)
+        out0 = jnp.zeros((B, n_new), prompts.dtype)
+        (_, _, out_buf), _ = jax.lax.scan(
+            body, (prompts[:, 0], caches, out0),
+            (jnp.arange(T, dtype=jnp.int32), keys))
+        return out_buf
+
+    return run
+
+
 def generate(
     params: dict,
     prompt: jnp.ndarray,

@@ -61,3 +61,34 @@ def test_generate_top_k1_matches_greedy():
     topk1 = generate_scan(params, prompt, 8, mcfg, temperature=0.7,
                           key=jax.random.PRNGKey(1), top_k=1)
     np.testing.assert_array_equal(np.asarray(greedy), np.asarray(topk1))
+
+
+def test_generate_ragged_matches_per_row_greedy():
+    """Ragged batch (prompt lengths 3/8/14) greedy-decodes each row
+    exactly as that row decodes alone — padding never leaks into any
+    row's attention, and each row's outputs start at its own length."""
+    from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig
+    from nsa_vibe_tpu.models.tinylm import (
+        generate_ragged,
+        generate_scan,
+        init_model_params,
+    )
+
+    nsa = NSAConfig(dim=64, n_heads=4, n_kv_groups=2, d_k=16, d_v=16,
+                    l=8, d=4, l_sel=8, n_sel=3, w=16)
+    mcfg = ModelConfig(vocab_size=64, n_layers=2, nsa=nsa, dtype="float32")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.float32)
+    lens = [3, 8, 14]
+    L = max(lens)
+    rng = np.random.default_rng(0)
+    prompts = np.zeros((len(lens), L), np.int32)
+    for i, ln in enumerate(lens):
+        prompts[i, :ln] = rng.integers(1, 64, ln)
+    n_new = 6
+    got = generate_ragged(params, jnp.asarray(prompts),
+                          jnp.asarray(lens, jnp.int32), n_new, mcfg)
+    for i, ln in enumerate(lens):
+        solo = generate_scan(params, jnp.asarray(prompts[i : i + 1, :ln]),
+                             n_new, mcfg, temperature=0.0)
+        np.testing.assert_array_equal(
+            np.asarray(got[i]), np.asarray(solo[0, ln:]), err_msg=f"row {i}")
