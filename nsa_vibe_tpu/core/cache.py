@@ -69,6 +69,26 @@ def init_cache(cfg: NSAConfig, batch: int, capacity: int, dtype=jnp.float32) -> 
     )
 
 
+def ragged_cache(cache: NSACache) -> NSACache:
+    """Uniform cache -> ragged cache (t broadcast to [B]) for
+    core.decode.nsa_decode_step_ragged."""
+    B = cache.k_sel.shape[0]
+    return cache._replace(t=jnp.broadcast_to(cache.t, (B,)).astype(jnp.int32))
+
+
+def admit_row(cache: NSACache, row: NSACache, i: int) -> NSACache:
+    """Mid-stream admission (continuous batching): install single-row
+    cache `row` (B=1, e.g. from cache_from_prefill on a new request)
+    as row i of a running ragged batch. The other rows keep decoding at
+    their own depths — per-row t makes the join free."""
+    new = {
+        f: getattr(cache, f).at[i].set(getattr(row, f)[0])
+        for f in NSACache._fields[:-1]
+    }
+    t = cache.t.at[i].set(jnp.reshape(row.t, ()).astype(jnp.int32))  # scalar or [1]
+    return NSACache(**new, t=t)
+
+
 def cache_from_prefill(cfg: NSAConfig, aux: dict, capacity: int) -> NSACache:
     """Seed a decode cache from prefill branch tensors (aux of nsa_prefill).
 

@@ -248,3 +248,48 @@ def test_ragged_decode_overflow_per_row(setup):
     _, _, info = jax.jit(
         lambda p, xt, c: nsa_decode_step_ragged(p, xt, c, CFG))(params, x, cache)
     assert not bool(info.overflow[0]) and bool(info.overflow[1])
+
+
+def test_ragged_admit_row_mid_stream(setup):
+    """Continuous batching: a freshly-prefilled request admitted into a
+    running ragged batch decodes exactly like it would alone."""
+    from nsa_vibe_tpu.core.cache import admit_row, ragged_cache
+    from nsa_vibe_tpu.core.decode import (
+        nsa_decode_step_ragged,
+        nsa_prefill_via_decode,
+    )
+
+    params, _ = setup
+    C = 64
+    # a running batch of 2 rows at depths 20 and 33
+    batch = []
+    xs = jax.random.normal(jax.random.PRNGKey(8), (3, 33, CFG.dim), jnp.float32)
+    for i, t in enumerate([20, 33]):
+        c = init_cache(CFG, 1, C)
+        _, c = nsa_prefill_via_decode(params, xs[i : i + 1, :t], c, CFG)
+        batch.append(c)
+    ragged = type(batch[0])(*[
+        jnp.concatenate([getattr(r, f) for r in batch] + [getattr(batch[0], f)],
+                        axis=0)
+        for f in batch[0]._fields[:-1]
+    ], t=jnp.asarray([20, 33, 0], jnp.int32))
+
+    # new request: prefill alone (depth 11), admit as row 2
+    x_new_req = jax.random.normal(jax.random.PRNGKey(9), (1, 11, CFG.dim))
+    solo = init_cache(CFG, 1, C)
+    _, solo = nsa_prefill_via_decode(params, x_new_req, solo, CFG)
+    solo = ragged_cache(solo)
+    ragged = admit_row(ragged, solo, 2)
+    assert ragged.t.tolist() == [20, 33, 11]
+
+    # two ragged steps: row 2 must match the solo continuation
+    x_steps = jax.random.normal(jax.random.PRNGKey(10), (3, 2, CFG.dim))
+    step_r = jax.jit(lambda p, xt, c: nsa_decode_step_ragged(p, xt, c, CFG))
+    step_u = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, CFG))
+    solo_u = batch[0]._replace(
+        **{f: getattr(solo, f) for f in solo._fields[:-1]},
+        t=jnp.asarray(11, jnp.int32))
+    for k in range(2):
+        out_r, ragged, _ = step_r(params, x_steps[:, k : k + 1], ragged)
+        out_s, solo_u, _ = step_u(params, x_steps[2:3, k : k + 1], solo_u)
+        assert float(jnp.abs(out_r[2:3] - out_s).max()) < 1e-5, k
