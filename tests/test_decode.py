@@ -293,3 +293,35 @@ def test_ragged_admit_row_mid_stream(setup):
         out_r, ragged, _ = step_r(params, x_steps[:, k : k + 1], ragged)
         out_s, solo_u, _ = step_u(params, x_steps[2:3, k : k + 1], solo_u)
         assert float(jnp.abs(out_r[2:3] - out_s).max()) < 1e-5, k
+
+
+def test_ragged_decode_conv_phi(setup):
+    """Ragged parity holds under the learnable conv-ϕ emission (the
+    order-dependent ring-window path inside the vmapped step)."""
+    from nsa_vibe_tpu.core.decode import (
+        nsa_decode_step_ragged,
+        nsa_prefill_via_decode,
+    )
+
+    cfg = CFG.replace(phi="conv")
+    params = init_nsa_params(jax.random.PRNGKey(2), cfg)
+    C = 64
+    depths = [9, 26]
+    xs = jax.random.normal(jax.random.PRNGKey(11), (2, 26, cfg.dim))
+    rows = []
+    for i, t in enumerate(depths):
+        c = init_cache(cfg, 1, C)
+        _, c = nsa_prefill_via_decode(params, xs[i : i + 1, :t], c, cfg)
+        rows.append(c)
+    ragged = type(rows[0])(*[
+        jnp.concatenate([getattr(r, f) for r in rows], axis=0)
+        for f in rows[0]._fields[:-1]
+    ], t=jnp.asarray(depths, jnp.int32))
+    x_new = jax.random.normal(jax.random.PRNGKey(12), (2, 4, cfg.dim))
+    step_r = jax.jit(lambda p, xt, c: nsa_decode_step_ragged(p, xt, c, cfg))
+    step_u = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, cfg))
+    for k in range(4):
+        out_r, ragged, _ = step_r(params, x_new[:, k : k + 1], ragged)
+        for i in range(2):
+            out_u, rows[i], _ = step_u(params, x_new[i : i + 1, k : k + 1], rows[i])
+            assert float(jnp.abs(out_r[i : i + 1] - out_u).max()) < 1e-5, (k, i)
