@@ -100,6 +100,49 @@ def serve_bench(args) -> None:
     }))
 
 
+def serve_ragged_bench(args) -> None:
+    """Ragged-batch serving: different-length prompts in one program
+    (models/tinylm.py::generate_ragged — decode-rate ingestion, each row
+    samples from the tick its own prompt ends). Reported toks/s counts
+    only sampled tokens; ingestion ticks are the continuous-batching
+    cost this mode exists to measure."""
+    import numpy as np
+
+    from nsa_vibe_tpu.core.config import ModelConfig
+    from nsa_vibe_tpu.models.tinylm import generate_ragged, init_model_params
+
+    n_new = 128
+    cfg = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,
+                    d_k=64, d_v=64, l=32, d=16, l_sel=64, n_sel=16, w=512,
+                    kernel=args.kernel)
+    mcfg = ModelConfig(vocab_size=256, n_layers=4, nsa=cfg, dtype=args.dtype)
+    params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.dtype(args.dtype))
+    rng = np.random.default_rng(0)
+    lens = rng.integers(256, 1025, args.batch)            # mixed prompt lengths
+    L = int(lens.max())
+    prompts = np.zeros((args.batch, L), np.int32)
+    for i, ln in enumerate(lens):
+        prompts[i, :ln] = rng.integers(0, 256, ln)
+    prompts = jnp.asarray(prompts)
+    lens_j = jnp.asarray(lens, jnp.int32)
+
+    out = generate_ragged(params, prompts, lens_j, n_new, mcfg)  # compile+warm
+    _ = int(out[0, -1])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = generate_ragged(params, prompts, lens_j, n_new, mcfg)
+        _ = int(out[0, -1])
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "mode": "serve-ragged", "batch": args.batch,
+        "prompt_min": int(lens.min()), "prompt_max": L, "new": n_new,
+        "layers": mcfg.n_layers, "s_total": round(best, 4),
+        "sampled_toks_per_s": round(args.batch * n_new / best, 1),
+        "ticks": L + n_new - 1,
+    }))
+
+
 def time_branches_isolated(params, cfg: NSAConfig, x_ctx, iters: int = 256):
     """Per-branch decode attention latency, each branch as its own chained
     jitted program over the prefilled cache (true isolation)."""
@@ -195,10 +238,16 @@ def main() -> None:
                     help="model-level single-stream serving: prefill + "
                          "generate_scan (whole generation in ONE program; "
                          "amortizes per-token dispatch)")
+    ap.add_argument("--serve-ragged", dest="serve_ragged", action="store_true",
+                    help="ragged-batch serving: different-length prompts in "
+                         "one program (generate_ragged)")
     args = ap.parse_args()
 
     if args.serve:
         serve_bench(args)
+        return
+    if args.serve_ragged:
+        serve_ragged_bench(args)
         return
 
     sweep = [int(s) for s in args.S.split(",")]
