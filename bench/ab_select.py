@@ -43,14 +43,19 @@ def main() -> None:
         print(f"{name:18s} ERROR: {r['error'][-160:]}")
 
     base = ok.get("flags-off")
-    losses = {round(float(r["loss"]), 4) for r in ok.values()}
-    if len(losses) > 1:
-        print(f"\nWARNING: losses differ across variants: {sorted(losses)} — "
-              "investigate before adopting any winner (tile changes must be "
-              "bit-identical)")
     if base:
         print(f"\nflags-off baseline: {base['value']:.1f} toks/s @ loss "
               f"{base['loss']} (r2 record: 57.4k @ 5.5535)")
+        # HARD invariant (CLAUDE.md A/B rule): a loss delta means a kernel
+        # bug, not a perf result — such variants are excluded from winner
+        # selection and --write refuses them. (bench_train records loss at
+        # 4 decimals; that is the finest loss equality available here —
+        # the queue runs the full-precision check at bench time.)
+        bad = {k: r["loss"] for k, r in ok.items()
+               if float(r["loss"]) != float(base["loss"])}
+        if bad:
+            print(f"EXCLUDED (loss != flags-off {base['loss']}): {bad}")
+            ok = {k: r for k, r in ok.items() if k not in bad}
 
     best = max(ok.values(), key=lambda r: r["value"])
     print(f"\nbest: {best['variant']} @ {best['value']:.1f} toks/s")

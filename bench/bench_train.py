@@ -80,12 +80,16 @@ def main() -> None:
     # full-chain sync (ravel: stacked pp leaves are >2-D)
     _ = float(jnp.ravel(jax.tree_util.tree_leaves(state.params)[0])[0])
     dt = (time.perf_counter() - t0) / args.steps
-    toks = args.batch * args.seq / dt
+    n_chips = mesh.size if mesh is not None else 1
+    # report PER-CHIP throughput so multi-chip runs stay comparable to
+    # the single-chip baseline (and to ab_queue records)
+    toks = args.batch * args.seq / dt / n_chips
 
     print(json.dumps({
         "metric": "train_toks_per_s",
         "value": round(toks, 1),
         "unit": "tokens/s/chip",
+        "chips": n_chips,
         "params_m": round(n_params / 1e6, 1),
         "batch": args.batch, "seq": args.seq, "remat": args.remat,
         "kernel": args.kernel,

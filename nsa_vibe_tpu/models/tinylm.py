@@ -203,11 +203,20 @@ def generate_ragged(
     capacity = capacity or L_max + n_new
     if L_max + n_new > capacity:
         raise ValueError(f"capacity {capacity} < prompt+new {L_max + n_new}")
+    prompt_lens = jnp.asarray(prompt_lens, jnp.int32)
+    # out-of-range lengths would silently yield zero/garbage output rows
+    # (a row's write window is ticks [len-1, len-1+n_new)); fail loudly
+    # when lens is concrete, clamp in-graph regardless
+    if not isinstance(prompt_lens, jax.core.Tracer):
+        lo, hi = int(prompt_lens.min()), int(prompt_lens.max())
+        if lo < 1 or hi > L_max:
+            raise ValueError(f"prompt_lens must be in [1, {L_max}]; got [{lo}, {hi}]")
+    prompt_lens = jnp.clip(prompt_lens, 1, L_max)
     if key is None:
         key = jax.random.PRNGKey(0)
     return _generate_ragged_fn(mcfg, n_new, float(temperature), capacity,
                                int(top_k), float(top_p))(
-        params, prompts, prompt_lens.astype(jnp.int32), key)
+        params, prompts, prompt_lens, key)
 
 
 @functools.lru_cache(maxsize=32)

@@ -133,15 +133,21 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
         tick, state0, jnp.arange(M + pp - 1))
     out_buf = y_ticks[pp - 1:]                              # [M,Bm,S,D]
 
-    # loss (last stage holds the real outputs; other stages CE over
-    # bubble garbage and are masked out before the psum)
-    x = rmsnorm(out_buf, params["final_norm"], mcfg.rmsnorm_eps)
-    logits = x @ params["lm_head"]                          # [M,Bm,S,V]
+    # loss: head + CE run ONLY on the last stage (lax.cond — other
+    # stages' tick outputs are bubble garbage; skipping avoids both the
+    # wasted [M,Bm,S,V] logits work and inf-CE-on-garbage poisoning the
+    # psum, since a multiplicative 0-mask would still be inf*0 = NaN)
     labels = toks[:, 1:].reshape(M, Bm, S)
-    loss_local = cross_entropy_loss(
-        logits.reshape(B, S, -1), labels.reshape(B, S))
-    loss = jax.lax.psum(
-        loss_local * (p == pp - 1).astype(loss_local.dtype), "pp")
+
+    def _head_loss(out_buf):
+        x = rmsnorm(out_buf, params["final_norm"], mcfg.rmsnorm_eps)
+        logits = x @ params["lm_head"]                      # [M,Bm,S,V]
+        return cross_entropy_loss(
+            logits.reshape(B, S, -1), labels.reshape(B, S))
+
+    loss_local = jax.lax.cond(
+        p == pp - 1, _head_loss, lambda _: jnp.zeros((), jnp.float32), out_buf)
+    loss = jax.lax.psum(loss_local, "pp")
     loss = jax.lax.pmean(loss, "dp")
 
     if not collect_aux:
