@@ -61,27 +61,62 @@ def unstack_blocks(params: dict, n_layers: int) -> dict:
     return {**params, "blocks": blocks}
 
 
-def pipeline_param_specs(params_stacked: dict) -> dict:
+def _fsdp_axis(shape_per_layer, fsdp_size: int, fsdp_min: int):
+    """Largest per-layer axis that splits evenly over dp and is long
+    enough (mesh._spec_for's min-wrap rule); -1 = stay replicated."""
+    for i in sorted(range(len(shape_per_layer)), key=lambda i: -shape_per_layer[i]):
+        if shape_per_layer[i] >= fsdp_min and shape_per_layer[i] % fsdp_size == 0:
+            return i
+    return -1
+
+
+def fsdp_axes_tree(params_stacked: dict, fsdp_size: int, fsdp_min: int = 512):
+    """Per-LAYER dp-shard axis for every stacked block leaf (int, -1 =
+    replicated) — consumed by the in-scan all_gather and by the specs."""
+    return jax.tree_util.tree_map(
+        lambda a: _fsdp_axis(a.shape[1:], fsdp_size, fsdp_min),
+        params_stacked["blocks"],
+    )
+
+
+def pipeline_param_specs(params_stacked: dict, fsdp_size: int = 1,
+                         fsdp_min: int = 512) -> dict:
     """PartitionSpec pytree: stacked blocks shard their leading layer
-    axis over pp; everything else is replicated."""
+    axis over pp; with fsdp_size > 1 each block leaf additionally shards
+    its largest per-layer axis over dp (ZeRO-3 for params + optimizer
+    state — the per-layer all_gather/reduce_scatter happens inside the
+    stage scan). Embed/head stay replicated (tiny at byte vocab)."""
+
+    def blk_spec(a):
+        spec = ["pp"] + [None] * (a.ndim - 1)
+        if fsdp_size > 1:
+            ax = _fsdp_axis(a.shape[1:], fsdp_size, fsdp_min)
+            if ax >= 0:
+                spec[ax + 1] = "dp"
+        while len(spec) > 1 and spec[-1] is None:
+            spec.pop()
+        return P(*spec)
+
     return {
         k: jax.tree_util.tree_map(
-            lambda _: P("pp") if k == "blocks" else P(), v
+            blk_spec if k == "blocks" else lambda _: P(), v
         )
         for k, v in params_stacked.items()
     }
 
 
-def pipeline_param_shardings(params_stacked: dict, mesh: Mesh) -> dict:
+def pipeline_param_shardings(params_stacked: dict, mesh: Mesh,
+                             fsdp: bool = False, fsdp_min: int = 512) -> dict:
+    fsdp_size = mesh.shape["dp"] if fsdp else 1
     return jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s),
-        pipeline_param_specs(params_stacked),
+        pipeline_param_specs(params_stacked, fsdp_size, fsdp_min),
         is_leaf=lambda x: isinstance(x, P),
     )
 
 
 def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
-                    collect_aux: bool):
+                    collect_aux: bool, fsdp_axes=None):
     """Runs INSIDE shard_map on every (dp, pp) mesh member.
     toks: this dp shard's [B_local, S+1] rows (replicated over pp).
     Returns (loss, gates [L,B_local,S,G,3] | None, sel [L,B_local,S,G,n] | None);
@@ -99,6 +134,14 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     Lp = blocks["attn_norm"].shape[0]
 
     def run_block(x, bp):
+        if fsdp_axes is not None:
+            # ZeRO-3: gather ONE layer's dp-sharded weights just-in-time
+            # (backward transposes to reduce_scatter); peak weight
+            # residency is a single layer, optimizer state stays sharded
+            bp = jax.tree_util.tree_map(
+                lambda a, ax: a if ax < 0 else jax.lax.all_gather(
+                    a, "dp", axis=ax, tiled=True),
+                bp, fsdp_axes)
         y, aux = block_prefill(bp, x, mcfg)
         y = y.astype(x.dtype)      # residual adds promote; scan carry is fixed
         if not collect_aux:
@@ -173,6 +216,8 @@ def pipeline_model_loss(
     mesh: Mesh,
     microbatches: int = 0,
     collect_aux: bool = False,
+    fsdp: bool = False,
+    fsdp_min: int = 512,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Pipeline-parallel loss. tokens: [B, S+1] int32 (B = global batch,
     sharded over dp). params_stacked: stack_blocks() layout with blocks
@@ -199,13 +244,19 @@ def pipeline_model_loss(
         raise ValueError(
             f"per-dp-shard batch {B // dp} not divisible by microbatches={M}")
 
+    fsdp_size = dp if (fsdp and dp > 1) else 1
+    axes = (fsdp_axes_tree(params_stacked, fsdp_size, fsdp_min)
+            if fsdp_size > 1 else None)
+
     def local_fn(params, toks):
-        return _pipeline_local(params, toks, mcfg, M, pp, collect_aux)
+        return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
+                               fsdp_axes=axes)
 
     aux_spec = P(None, "dp", None, None, None)
     loss, gates, sel = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(pipeline_param_specs(params_stacked), P("dp", None)),
+        in_specs=(pipeline_param_specs(params_stacked, fsdp_size, fsdp_min),
+                  P("dp", None)),
         out_specs=(P(), aux_spec, aux_spec) if collect_aux else (P(), P(), P()),
         check_rep=False,
     )(params_stacked, tokens)

@@ -62,8 +62,8 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     optimizer = make_optimizer(tcfg)
     use_cp = mesh is not None and tcfg.sp > 1
     use_pp = mesh is not None and tcfg.pp > 1
-    if use_pp and (tcfg.varlen or tcfg.sp > 1 or tcfg.tp > 1 or tcfg.fsdp):
-        raise ValueError("pp composes with dp only (no varlen/sp/tp/fsdp yet)")
+    if use_pp and (tcfg.varlen or tcfg.sp > 1 or tcfg.tp > 1):
+        raise ValueError("pp composes with dp/fsdp only (no varlen/sp/tp yet)")
 
     collect = tcfg.gate_stats
 
@@ -74,6 +74,7 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
             loss, aux = pipeline_model_loss(
                 params, tok_row, mcfg, mesh,
                 microbatches=tcfg.pp_microbatches, collect_aux=collect,
+                fsdp=tcfg.fsdp, fsdp_min=tcfg.fsdp_min_size,
             )
             return loss, aux
         if tcfg.varlen:
@@ -234,7 +235,10 @@ def build_state_and_step(params, mcfg: ModelConfig, tcfg: TrainConfig, mesh=None
             )
 
             params = stack_blocks(params)
-            params = jax.device_put(params, pipeline_param_shardings(params, mesh))
+            params = jax.device_put(
+                params,
+                pipeline_param_shardings(params, mesh, fsdp=tcfg.fsdp,
+                                         fsdp_min=tcfg.fsdp_min_size))
         else:
             params = jax.device_put(
                 params,

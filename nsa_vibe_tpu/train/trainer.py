@@ -170,7 +170,8 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
         from nsa_vibe_tpu.parallel.pipeline import pipeline_model_loss
 
         eval_fn = jax.jit(lambda p, t: pipeline_model_loss(
-            p, t, mcfg, mesh, microbatches=tcfg.pp_microbatches)[0])
+            p, t, mcfg, mesh, microbatches=tcfg.pp_microbatches,
+            fsdp=tcfg.fsdp, fsdp_min=tcfg.fsdp_min_size)[0])
     else:
         eval_fn = jax.jit(make_eval_step(mcfg, varlen=tcfg.varlen))
 
