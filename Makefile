@@ -4,7 +4,7 @@ CPU_ENV = JAX_PLATFORMS=cpu PYTHONPATH=.
 
 .PHONY: test test-fast lint bench bench-decode bench-prefill bench-train \
         bench-kernels bench-all smoke readiness demo-64k demo-decode \
-        train-toy sanity check-configs dryrun
+        train-toy sanity check-configs dryrun pp-smoke
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -49,6 +49,11 @@ check-configs:
 smoke:
 	$(CPU_ENV) $(PY) -m nsa_vibe_tpu.train.trainer --steps 20 --data synthetic \
 	  --batch-size 4 --seq-len 64 --n-layers 1 --log-every 5
+
+pp-smoke:         # pipeline-parallel trainer on the 8-virtual-device mesh
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 $(CPU_ENV) \
+	  $(PY) -m nsa_vibe_tpu.train.trainer --steps 12 --data synthetic \
+	  --batch-size 8 --seq-len 64 --n-layers 4 --pp 2 --dp 4 --log-every 4
 
 readiness:
 	$(CPU_ENV) $(PY) scripts/run_readiness.py
