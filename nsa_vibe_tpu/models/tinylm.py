@@ -110,6 +110,30 @@ def model_decode_step(
     return x @ params["lm_head"], new_caches
 
 
+def model_decode_step_ragged(
+    params: dict, token: jnp.ndarray, caches: List[NSACache], mcfg: ModelConfig
+) -> Tuple[jnp.ndarray, List[NSACache]]:
+    """Model-level ragged decode: every layer cache carries per-row
+    positions (t: [B]) — the continuous-batching step that pairs with
+    `cache.admit_row` (install a freshly-prefilled request as row i of
+    all layer caches, other rows keep decoding at their own depths).
+    token: [B, 1] int32 -> (logits [B, 1, vocab], caches')."""
+    from nsa_vibe_tpu.core.decode import nsa_decode_step_ragged
+    from nsa_vibe_tpu.models.llama_block import mlp
+
+    x = params["embed"][token].astype(jnp.dtype(mcfg.dtype))
+    new_caches = []
+    for bp, cache in zip(params["blocks"], caches):
+        a, cache, _ = nsa_decode_step_ragged(
+            bp["attn"], rmsnorm(x, bp["attn_norm"], mcfg.rmsnorm_eps),
+            cache, mcfg.nsa)
+        x = x + a
+        x = x + mlp(bp["mlp"], rmsnorm(x, bp["mlp_norm"], mcfg.rmsnorm_eps))
+        new_caches.append(cache)
+    x = rmsnorm(x, params["final_norm"], mcfg.rmsnorm_eps)
+    return x @ params["lm_head"], new_caches
+
+
 def generate_scan(
     params: dict,
     prompt: jnp.ndarray,

@@ -92,3 +92,51 @@ def test_generate_ragged_matches_per_row_greedy():
                              n_new, mcfg, temperature=0.0)
         np.testing.assert_array_equal(
             np.asarray(got[i]), np.asarray(solo[0, ln:]), err_msg=f"row {i}")
+
+
+def test_model_decode_step_ragged_matches_uniform():
+    """Model-level ragged decode (per-layer caches at per-row depths):
+    admitted rows at different depths step exactly like each row alone."""
+    from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig
+    from nsa_vibe_tpu.models.tinylm import (
+        init_model_params,
+        model_decode_step,
+        model_decode_step_ragged,
+        model_prefill_with_caches,
+    )
+
+    nsa = NSAConfig(dim=64, n_heads=4, n_kv_groups=2, d_k=16, d_v=16,
+                    l=8, d=4, l_sel=8, n_sel=3, w=16)
+    mcfg = ModelConfig(vocab_size=64, n_layers=2, nsa=nsa, dtype="float32")
+    params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.float32)
+    C = 64
+    depths = [7, 30]
+    rng = np.random.default_rng(0)
+    # per-row solo prefill at each depth
+    solo = []
+    for t in depths:
+        toks = jnp.asarray(rng.integers(1, 64, (1, t)), jnp.int32)
+        _, caches = jax.jit(
+            lambda p, tk: model_prefill_with_caches(p, tk, mcfg, C)
+        )(params, toks)
+        solo.append(caches)
+    # stitch into one ragged batch (per layer: concat rows, t vector)
+    ragged = []
+    for li in range(mcfg.n_layers):
+        rows = [solo[i][li] for i in range(len(depths))]
+        ragged.append(type(rows[0])(*[
+            jnp.concatenate([getattr(r, f) for r in rows], axis=0)
+            for f in rows[0]._fields[:-1]
+        ], t=jnp.asarray(depths, jnp.int32)))
+
+    step_r = jax.jit(
+        lambda p, tk, cs: model_decode_step_ragged(p, tk, cs, mcfg))
+    step_u = jax.jit(lambda p, tk, cs: model_decode_step(p, tk, cs, mcfg))
+    toks_new = jnp.asarray(rng.integers(1, 64, (2, 3)), jnp.int32)
+    for k in range(3):
+        lg_r, ragged = step_r(params, toks_new[:, k : k + 1], ragged)
+        for i in range(2):
+            lg_u, solo[i] = step_u(params, toks_new[i : i + 1, k : k + 1], solo[i])
+            mae = float(jnp.abs(lg_r[i : i + 1] - lg_u).max())
+            assert mae < 2e-4, (k, i, mae)
+    assert ragged[0].t.tolist() == [d + 3 for d in depths]
