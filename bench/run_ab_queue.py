@@ -27,22 +27,16 @@ VARIANTS = [
     # bit-identical baseline = r2-late state (validates the base-2 /
     # one-select-mask changes against the 57.4k @ loss 5.5535 record)
     ("flags-off", {"flash.scale_on_q": 0, "flash.fastpath": 0}),
-    ("fastpath", {"flash.scale_on_q": 0, "flash.fastpath": 1}),
-    ("scaleq", {"flash.scale_on_q": 1, "flash.fastpath": 0}),
+    # defaults: scale_on_q=1 + bwd fastpath=1 (fwd fastpath is a
+    # separate opt-in key — it VMEM-OOMs at the default fwd tiles)
     ("flags-on", {}),
     # fwd win tiles: 256-wide kv tiles make the middle band tile fully
-    # live (fastpath) and cut dead lanes ~2x vs 1024 (see flash.py notes)
+    # live (enabling fwd fastpath) and cut dead lanes ~2x vs 1024
     ("fwd-wink256", {"win.block_k": 256}),
-    ("fwd-wink512", {"win.block_k": 512}),
-    ("fwd-winq128k128", {"win.block_q": 128, "win.block_k": 128}),
-    # 512-row q tiles halve the per-step overhead and fwd logits at
-    # bk=256 stay ~3 MB f32 (the earlier bq=512 OOM was at bk>=512)
-    ("fwd-winq512k256", {"win.block_q": 512, "win.block_k": 256}),
+    ("fwd-fastk256", {"win.block_k": 256, "flash.fastpath_fwd": 1}),
     # bwd win kv tiles: smaller tiles raise the fully-live pair fraction
-    # (at w=512, bq=128: bk=512 -> 3/8 pairs fully live; bk=128 -> 3/6)
+    # (at w=512, bq=128: bk=512 -> 3/8 pairs fully live; bk=256 -> 3/6)
     ("bwd-wink256", {"win.bwd_block_k": 256}),
-    ("bwd-wink128", {"win.bwd_block_k": 128}),
-    ("bwd-k256-all", {"win.bwd_block_k": 256, "cmp.bwd_block_k": 256}),
     # one fused [dim, H*Dk+3G*(Dk+Dv)] QKV projection matmul instead of
     # seven (saves 6 re-reads of the 50 MB x activation per layer fwd,
     # and 6 dx accumulation passes bwd); per-column-identical numerics
@@ -51,16 +45,12 @@ VARIANTS = [
     # [rows, KB*l_sel] matmul per grid step (KB=16 at f32 logits OOMs;
     # 12 -> 768-lane logits should fit at bq=256)
     ("sel-kb12", {"sel.kv_batch": 12}),
-    ("sel-bwd-kb12", {"sel.bwd_kv_batch": 12}),
     # cmp fwd kv tiles: prefix-mode tiles are mostly fully-live, so wider
     # tiles amortize per-step overhead without masking cost
     ("cmp-k1024", {"cmp.block_k": 1024}),
-    ("cmp-q512", {"cmp.block_q": 512}),
     # fused scorer tiles: wider q-tiles amortize the per-step top-n
-    # selection loop; wider cmp chunks cut grid steps (VMEM-gated by
-    # scorer_fits_vmem; interpret-parity-checked incl. selection sets)
+    # selection loop (VMEM-gated by scorer_fits_vmem)
     ("scorer-q256", {"scorer.block_q": 256}),
-    ("scorer-chunk1024", {"scorer.cmp_chunk": 1024}),
 ]
 
 
@@ -129,14 +119,12 @@ def main() -> None:
         def _best_of(names):
             group = [ok[n] for n in names if n in ok]
             return max(group, key=lambda r: r["value"]) if group else None
-        fwd = _best_of(["flags-on", "fwd-wink256", "fwd-wink512",
-                        "fwd-winq128k128", "fwd-winq512k256"])
-        bwd = _best_of(["flags-on", "bwd-wink256", "bwd-wink128",
-                        "bwd-k256-all"])
+        fwd = _best_of(["flags-on", "fwd-wink256", "fwd-fastk256"])
+        bwd = _best_of(["flags-on", "bwd-wink256"])
         proj = _best_of(["flags-on", "proj-fused"])
-        sel = _best_of(["flags-on", "sel-kb12", "sel-bwd-kb12"])
-        cmp_ = _best_of(["flags-on", "cmp-k1024", "cmp-q512"])
-        scorer = _best_of(["flags-on", "scorer-q256", "scorer-chunk1024"])
+        sel = _best_of(["flags-on", "sel-kb12"])
+        cmp_ = _best_of(["flags-on", "cmp-k1024"])
+        scorer = _best_of(["flags-on", "scorer-q256"])
         combo = {**fwd["overrides"], **bwd["overrides"], **proj["overrides"],
                  **sel["overrides"], **cmp_["overrides"], **scorer["overrides"]}
         if combo and all(combo != r.get("overrides") for r in results):

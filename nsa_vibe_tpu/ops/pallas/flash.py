@@ -327,7 +327,10 @@ def flash_banded(
     if scale_on_q is None:
         scale_on_q = bool(tuned("flash.scale_on_q"))
     if fastpath is None:
-        fastpath = bool(tuned("flash.fastpath"))
+        # fwd-specific key: the duplicated unmasked-body logits buffer
+        # OOMs VMEM at the default fwd tiles (see tuning.py) — fwd
+        # fastpath is opt-in alongside win.block_k <= 256.
+        fastpath = bool(tuned("flash.fastpath_fwd"))
     kernel = functools.partial(
         _flash_kernel,
         mode=mode, w=w, l=l, d=d, scale=scale,

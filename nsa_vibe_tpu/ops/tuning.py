@@ -48,8 +48,15 @@ DEFAULTS = {
     #     numeric change);
     #   fastpath — scalar-branch to an unmasked body when a (q,kv) tile
     #     pair is fully inside the visibility band (bit-identical).
+    #     Split fwd/bwd: the fwd branch duplicates the [rows,block_k] f32
+    #     logits buffer, which VMEM-OOMs at the default fwd tiles
+    #     (bq256/bk1024: 16.21M > 16M, measured on v5e) AND never fires
+    #     there (fwd needs bk<=256 for a fully-live band tile) — so the
+    #     fwd key defaults OFF and is only worth enabling with win.block_k
+    #     <= 256.
     "flash.scale_on_q": 1,
-    "flash.fastpath": 1,
+    "flash.fastpath": 1,        # backward (one-pass) kernels
+    "flash.fastpath_fwd": 0,    # forward flash_banded
     # fuse the 7 QKV projection matmuls into one (core/nsa.project_qkv):
     # per-column-identical numerics; OFF until e2e-A/B'd on device so the
     # r2-late validation baseline (57.4k @ loss 5.5535) stays bitwise
