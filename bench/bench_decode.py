@@ -42,8 +42,12 @@ from nsa_vibe_tpu.ops.block_index import num_cmp_blocks
 
 
 def expected_reads(S: int, cfg: NSAConfig) -> int:
-    """num_cmp(S) + n*l' + min(w, S) (reference bench_decode.py:36-38)."""
-    return int(num_cmp_blocks(S, cfg.l, cfg.d)) + cfg.n_sel * cfg.l_sel + min(cfg.w, S)
+    """num_cmp(S) + n_eff*l' + min(w, S) (reference bench_decode.py:36-38;
+    n_eff = true sel_idx width incl. forced slots)."""
+    from nsa_vibe_tpu.ops.selection import effective_sel_blocks
+
+    n_eff = effective_sel_blocks(cfg.n_sel, cfg.force_init, cfg.force_local)
+    return int(num_cmp_blocks(S, cfg.l, cfg.d)) + n_eff * cfg.l_sel + min(cfg.w, S)
 
 
 def time_decode(params, cfg: NSAConfig, x_ctx, iters: int, warmup: int):
@@ -273,12 +277,24 @@ def main() -> None:
             "ms_cmp": round(branch_ms["cmp"], 4) if "cmp" in branch_ms else None,
             "ms_sel": round(branch_ms["sel"], 4) if "sel" in branch_ms else None,
             "ms_win": round(branch_ms["win"], 4) if "win" in branch_ms else None,
-            # decode-only reads at the last timed step
-            "reads_actual": int(info.reads_pred) if info is not None else -1,
+            # decode-only reads at the last timed step: predicted = the
+            # budget formula; actual = counted from the masks the step
+            # really applied (independent columns so an over-read
+            # regression the formula can't see shows up as divergence —
+            # reference kv_cache.py:51-65 kept the same split)
+            "reads_pred": int(info.reads_pred) if info is not None else -1,
+            "reads_actual": (round(float(info.reads_actual), 1)
+                             if info is not None else -1),
             "reads_expected": expected_reads(S_end, cfg),
             "reads_cmp": int(info.reads_cmp) if info is not None else -1,
             "reads_sel": int(info.reads_sel) if info is not None else -1,
             "reads_win": int(info.reads_win) if info is not None else -1,
+            "reads_actual_cmp": (int(info.reads_actual_cmp)
+                                 if info is not None else -1),
+            "reads_actual_sel": (round(float(info.reads_actual_sel), 1)
+                                 if info is not None else -1),
+            "reads_actual_win": (int(info.reads_actual_win)
+                                 if info is not None else -1),
         }
         rows.append(row)
         print(json.dumps(row), flush=True)

@@ -33,6 +33,10 @@ VARIANTS = [
     # fwd win tiles: 256-wide kv tiles make the middle band tile fully
     # live (enabling fwd fastpath) and cut dead lanes ~2x vs 1024
     ("fwd-wink256", {"win.block_k": 256}),
+    # NB: fastpath_fwd is process-wide, so this also flips the cmp-mode
+    # forward (cmp.block_k stays 512) — the delta vs fwd-wink256 mixes
+    # win-fwd + cmp-fwd fastpath effects; add a cmp-tiles-pinned control
+    # if per-branch attribution is ever needed.
     ("fwd-fastk256", {"win.block_k": 256, "flash.fastpath_fwd": 1}),
     # bwd win kv tiles: smaller tiles raise the fully-live pair fraction
     # (at w=512, bq=128: bk=512 -> 3/8 pairs fully live; bk=256 -> 3/6)

@@ -41,6 +41,15 @@ class DecodeInfo(NamedTuple):
     reads_sel: jnp.ndarray    # n*l' (padded static gather width)
     reads_win: jnp.ndarray    # min(w, S_raw)
     sel_valid_tokens: jnp.ndarray  # actual un-masked gathered tokens (per B,G mean)
+    # actual reads, counted from the masks the attention REALLY applied
+    # (reference keeps independent actual counters, nsa/cache/
+    # kv_cache.py:51-65, so formula-vs-reality divergence is detectable;
+    # reads_actual_sel < reads_sel whenever selection under-fills its
+    # padded n*l' gather width)
+    reads_actual: jnp.ndarray      # cmp + sel + win actuals (per B,G mean)
+    reads_actual_cmp: jnp.ndarray
+    reads_actual_sel: jnp.ndarray
+    reads_actual_win: jnp.ndarray
     sel_idx: jnp.ndarray      # [B,1,G,n] selected blocks
     gates: jnp.ndarray        # [B,1,G,3]
     overflow: jnp.ndarray     # bool: this step wrote past cache capacity
@@ -182,14 +191,18 @@ def nsa_decode_step(
         win_valid = (jnp.arange(cfg.w, dtype=jnp.int32) <= t) | (t >= cfg.w)
         O_win = _masked_single_query_attention(Q[:, 0], k_win, v_win,
                                                win_valid, scale)
+        win_actual = win_valid.sum().astype(jnp.int32)
     else:
         O_win = O_zero
+        win_actual = jnp.zeros((), jnp.int32)
     if fb in (None, "cmp"):
         cmp_valid = jnp.arange(C_cmp, dtype=jnp.int32) < num_cmp
         O_cmp = _masked_single_query_attention(Q[:, 0], k_cmp, v_cmp,
                                                cmp_valid, scale)
+        cmp_actual = cmp_valid.sum().astype(jnp.int32)
     else:
         O_cmp = O_zero
+        cmp_actual = jnp.zeros((), jnp.int32)
 
     out, gates = combine_branches(
         params, cfg, Q, O_cmp[:, None], O_sel[:, None], O_win[:, None]
@@ -201,12 +214,21 @@ def nsa_decode_step(
         t=t + 1,
     )
     reads_win = jnp.minimum(cfg.w, s_raw)
+    sel_actual = sel_valid.sum(axis=(-1, -2)).mean()
+    # the TRUE selection gather width: sel_idx is max(n_sel, n_forced)
+    # wide (forced init/local slots can exceed n_sel on degenerate
+    # configs — caught by the reads_actual counters, r3)
+    n_eff = sel_idx.shape[-1]
     info = DecodeInfo(
-        reads_pred=num_cmp + cfg.n_sel * cfg.l_sel + reads_win,
+        reads_pred=num_cmp + n_eff * cfg.l_sel + reads_win,
         reads_cmp=num_cmp,
-        reads_sel=jnp.asarray(cfg.n_sel * cfg.l_sel, jnp.int32),
+        reads_sel=jnp.asarray(n_eff * cfg.l_sel, jnp.int32),
         reads_win=reads_win,
-        sel_valid_tokens=sel_valid.sum(axis=(-1, -2)).mean(),
+        sel_valid_tokens=sel_actual,
+        reads_actual=(cmp_actual + win_actual).astype(jnp.float32) + sel_actual,
+        reads_actual_cmp=cmp_actual,
+        reads_actual_sel=sel_actual,
+        reads_actual_win=win_actual,
         sel_idx=sel_idx,
         gates=gates,
         overflow=t >= C,
@@ -248,6 +270,10 @@ def nsa_decode_step_ragged(
         reads_pred=infos.reads_pred, reads_cmp=infos.reads_cmp,
         reads_sel=infos.reads_sel, reads_win=infos.reads_win,
         sel_valid_tokens=infos.sel_valid_tokens,
+        reads_actual=infos.reads_actual,
+        reads_actual_cmp=infos.reads_actual_cmp,
+        reads_actual_sel=infos.reads_actual_sel,
+        reads_actual_win=infos.reads_actual_win,
         sel_idx=infos.sel_idx[:, 0], gates=infos.gates[:, 0],
         overflow=infos.overflow,
     )

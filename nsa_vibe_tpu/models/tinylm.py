@@ -72,12 +72,23 @@ def cross_entropy_loss(
 ) -> jnp.ndarray:
     """fp32 next-token cross entropy (reference computes loss in fp32,
     train_showcase.py:1249)."""
+    num, den = cross_entropy_numden(logits, targets, mask)
+    return num / den
+
+
+def cross_entropy_numden(
+    logits: jnp.ndarray, targets: jnp.ndarray, mask: Optional[jnp.ndarray] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sum of masked nll, token count) — the separable form lets
+    sharded losses (pipeline/shard_map) psum both pieces and divide once,
+    so mask-weighted varlen losses match the single-device ratio exactly
+    even when documents pack unevenly across dp shards."""
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     if mask is not None:
-        return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
-    return nll.mean()
+        return (nll * mask).sum(), jnp.maximum(mask.sum(), 1.0)
+    return nll.sum(), jnp.asarray(nll.size, jnp.float32)
 
 
 def init_model_caches(mcfg: ModelConfig, batch: int, capacity: int, dtype=jnp.float32) -> List[NSACache]:

@@ -274,7 +274,7 @@ def flash_banded(
     t_start=None,             # traced int32 scalar: global position of row 0
     seq_start=None,           # [B, S] int32: per-row document starts (varlen)
     scale_on_q: Optional[bool] = None,   # None -> tuned("flash.scale_on_q")
-    fastpath: Optional[bool] = None,     # None -> tuned("flash.fastpath")
+    fastpath: Optional[bool] = None,     # None -> tuned("flash.fastpath_fwd"), default OFF
 ):
     """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
     flat row stats [B*G, 1, stats_rows(S, h)] f32 when return_lse
@@ -331,6 +331,14 @@ def flash_banded(
         # OOMs VMEM at the default fwd tiles (see tuning.py) — fwd
         # fastpath is opt-in alongside win.block_k <= 256.
         fastpath = bool(tuned("flash.fastpath_fwd"))
+    # VMEM guard: the fastpath branch doubles the [rows, block_k] f32
+    # logits buffer (both branch bodies stay live). Measured OOM at
+    # bq256/h6/bk1024 (16.21M > 16M on v5e); the doubled buffer must stay
+    # small or the whole compile fails — silently drop the flag instead,
+    # so a stale kernel_tuning.json (e.g. autotune restoring bk=1024 with
+    # fastpath_fwd=1 set) degrades to the masked body, not a crash.
+    if fastpath and 2 * block_q * h * block_k * 4 > 6 * 2**20:
+        fastpath = False
     kernel = functools.partial(
         _flash_kernel,
         mode=mode, w=w, l=l, d=d, scale=scale,

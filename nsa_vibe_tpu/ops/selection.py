@@ -94,6 +94,14 @@ def forced_block_ids(
     return jnp.stack(cols, axis=-1).astype(jnp.int32)
 
 
+def effective_sel_blocks(n_top: int, force_init: bool = True,
+                         force_local: int = 2) -> int:
+    """Width of the sel_idx block set select_topn_blocks emits:
+    max(n_top, n_forced) — forced init/local slots can exceed n_top on
+    degenerate configs, and read accounting must use the real width."""
+    return max(n_top, (1 if force_init else 0) + force_local)
+
+
 def select_topn_blocks(
     p_grp: jnp.ndarray,
     n_top: int,

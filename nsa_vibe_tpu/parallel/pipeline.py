@@ -21,8 +21,10 @@ Design (idiomatic SPMD pipelining, cf. the public scaling-book recipe):
     to the blocks) and the loss is computed on the last stage, then
     psum-broadcast — activations never round-trip to the host;
   * composes with data parallelism (mesh ("dp","pp","sp","tp"), batch
-    rows over dp). tp/sp/fsdp/varlen do not compose with pp yet and are
-    rejected loudly at setup.
+    rows over dp), with FSDP/ZeRO-3 (stage weights sharded over dp,
+    all-gathered inside jit), and with varlen/document-masked batches
+    (seq_start rides with each microbatch through the stage scan).
+    tp/sp do not compose with pp yet and are rejected loudly at setup.
 
 Bubble fraction is (pp-1)/(M+pp-1) for M microbatches per step; M
 defaults to the accumulated batch's natural split (tcfg.pp_microbatches
@@ -40,7 +42,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nsa_vibe_tpu.core.config import ModelConfig
 from nsa_vibe_tpu.models.llama_block import block_prefill, rmsnorm
-from nsa_vibe_tpu.models.tinylm import cross_entropy_loss
+from nsa_vibe_tpu.models.tinylm import cross_entropy_numden
 from nsa_vibe_tpu.parallel.context import shard_map
 
 
@@ -116,24 +118,30 @@ def pipeline_param_shardings(params_stacked: dict, mesh: Mesh,
 
 
 def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
-                    collect_aux: bool, fsdp_axes=None):
+                    collect_aux: bool, fsdp_axes=None, seq_start=None,
+                    loss_mask=None):
     """Runs INSIDE shard_map on every (dp, pp) mesh member.
     toks: this dp shard's [B_local, S+1] rows (replicated over pp).
+    seq_start/loss_mask [B_local, S]: varlen document starts + supervised
+    mask (ops.varlen) — seq_start rides with each microbatch through the
+    stage scan; loss masking happens on the last stage only.
     Returns (loss, gates [L,B_local,S,G,3] | None, sel [L,B_local,S,G,n] | None);
-    loss is psum'd over pp and pmean'd over dp (identical everywhere)."""
+    loss is psum'd over pp and num/den-psum'd over dp (identical everywhere)."""
     cfg = mcfg.nsa
     B, S1 = toks.shape
     S = S1 - 1
     Bm = B // M
     dtype = jnp.dtype(mcfg.dtype)
     p = jax.lax.axis_index("pp")
+    varlen = seq_start is not None
 
     inp_tok = toks[:, :-1].reshape(M, Bm, S)
     x_mb = params["embed"][inp_tok].astype(dtype)          # [M,Bm,S,D]
+    ss_mb = seq_start.reshape(M, Bm, S) if varlen else None
     blocks = params["blocks"]                              # leaves [Lp, ...]
     Lp = blocks["attn_norm"].shape[0]
 
-    def run_block(x, bp):
+    def run_block(x, bp, ss):
         if fsdp_axes is not None:
             # ZeRO-3: gather ONE layer's dp-sharded weights just-in-time
             # (backward transposes to reduce_scatter); peak weight
@@ -142,7 +150,7 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
                 lambda a, ax: a if ax < 0 else jax.lax.all_gather(
                     a, "dp", axis=ax, tiled=True),
                 bp, fsdp_axes)
-        y, aux = block_prefill(bp, x, mcfg)
+        y, aux = block_prefill(bp, x, mcfg, seq_start=ss)
         y = y.astype(x.dtype)      # residual adds promote; scan carry is fixed
         if not collect_aux:
             return y, 0
@@ -152,8 +160,8 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     if mcfg.remat in (True, "full"):
         run_block = jax.checkpoint(run_block)
 
-    def run_stage(x):
-        return jax.lax.scan(run_block, x, blocks)          # aux leaves [Lp,...]
+    def run_stage(x, ss):
+        return jax.lax.scan(lambda c, bp: run_block(c, bp, ss), x, blocks)
 
     D = cfg.dim
     G, n = cfg.n_kv_groups, cfg.n_sel
@@ -161,7 +169,11 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
 
     def tick(state, t):
         inp = jnp.where(p == 0, x_mb[jnp.clip(t, 0, M - 1)], state)
-        y, auxes = run_stage(inp)
+        # stage p computes microbatch t-p at tick t — its seq_start must
+        # follow the activation down the pipeline (bubble ticks read a
+        # clipped garbage microbatch; their outputs are sliced away)
+        ss = ss_mb[jnp.clip(t - p, 0, M - 1)] if varlen else None
+        y, auxes = run_stage(inp, ss)
         # hand this tick's activation to the next stage (no wraparound:
         # stage 0 reads embeddings, so its ppermute receive — zeros — is
         # dead; XLA overlaps the transfer with the next tick's compute)
@@ -179,19 +191,24 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     # loss: head + CE run ONLY on the last stage (lax.cond — other
     # stages' tick outputs are bubble garbage; skipping avoids both the
     # wasted [M,Bm,S,V] logits work and inf-CE-on-garbage poisoning the
-    # psum, since a multiplicative 0-mask would still be inf*0 = NaN)
+    # psum, since a multiplicative 0-mask would still be inf*0 = NaN).
+    # num/den travel separately so the mask-weighted varlen ratio is the
+    # GLOBAL ratio even when documents pack unevenly across dp shards.
     labels = toks[:, 1:].reshape(M, Bm, S)
 
-    def _head_loss(out_buf):
+    def _head_numden(out_buf):
         x = rmsnorm(out_buf, params["final_norm"], mcfg.rmsnorm_eps)
         logits = x @ params["lm_head"]                      # [M,Bm,S,V]
-        return cross_entropy_loss(
-            logits.reshape(B, S, -1), labels.reshape(B, S))
+        num, den = cross_entropy_numden(
+            logits.reshape(B, S, -1), labels.reshape(B, S), mask=loss_mask)
+        return jnp.stack([num, den])
 
-    loss_local = jax.lax.cond(
-        p == pp - 1, _head_loss, lambda _: jnp.zeros((), jnp.float32), out_buf)
-    loss = jax.lax.psum(loss_local, "pp")
-    loss = jax.lax.pmean(loss, "dp")
+    nd = jax.lax.cond(
+        p == pp - 1, _head_numden, lambda _: jnp.zeros((2,), jnp.float32),
+        out_buf)
+    nd = jax.lax.psum(nd, "pp")
+    nd = jax.lax.psum(nd, "dp")
+    loss = nd[0] / jnp.maximum(nd[1], 1.0)
 
     if not collect_aux:
         z = jnp.zeros((), jnp.float32)
@@ -218,12 +235,18 @@ def pipeline_model_loss(
     collect_aux: bool = False,
     fsdp: bool = False,
     fsdp_min: int = 512,
+    seq_start: Optional[jnp.ndarray] = None,
+    loss_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """Pipeline-parallel loss. tokens: [B, S+1] int32 (B = global batch,
     sharded over dp). params_stacked: stack_blocks() layout with blocks
     sharded over pp. Differentiable; grads come back with the params'
     shardings (stage-local block grads, psum'd replicated grads for
     embed/head — the transpose of the replicated in_spec).
+
+    seq_start/loss_mask [B, S] (both or neither): varlen/document-masked
+    batches (ops.varlen.make_varlen_batches) — document-local attention
+    rides with each microbatch; padding is loss-masked on the last stage.
 
     Returns (loss, (gates [L,B,S,G,3], sel_idx [L,B,S,G,n]) | None) —
     the same observability contract as model_forward(collect_aux=True),
@@ -247,17 +270,31 @@ def pipeline_model_loss(
     fsdp_size = dp if (fsdp and dp > 1) else 1
     axes = (fsdp_axes_tree(params_stacked, fsdp_size, fsdp_min)
             if fsdp_size > 1 else None)
-
-    def local_fn(params, toks):
-        return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
-                               fsdp_axes=axes)
+    varlen = seq_start is not None
+    if varlen != (loss_mask is not None):
+        raise ValueError("seq_start and loss_mask must be passed together")
 
     aux_spec = P(None, "dp", None, None, None)
-    loss, gates, sel = shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(pipeline_param_specs(params_stacked, fsdp_size, fsdp_min),
-                  P("dp", None)),
-        out_specs=(P(), aux_spec, aux_spec) if collect_aux else (P(), P(), P()),
-        check_rep=False,
-    )(params_stacked, tokens)
+    out_specs = (P(), aux_spec, aux_spec) if collect_aux else (P(), P(), P())
+    param_specs = pipeline_param_specs(params_stacked, fsdp_size, fsdp_min)
+    if varlen:
+        def local_fn(params, toks, ss, lm):
+            return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
+                                   fsdp_axes=axes, seq_start=ss, loss_mask=lm)
+
+        loss, gates, sel = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(param_specs, P("dp", None), P("dp", None), P("dp", None)),
+            out_specs=out_specs, check_rep=False,
+        )(params_stacked, tokens, seq_start, loss_mask)
+    else:
+        def local_fn(params, toks):
+            return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
+                                   fsdp_axes=axes)
+
+        loss, gates, sel = shard_map(
+            local_fn, mesh=mesh,
+            in_specs=(param_specs, P("dp", None)),
+            out_specs=out_specs, check_rep=False,
+        )(params_stacked, tokens)
     return loss, ((gates, sel) if collect_aux else None)

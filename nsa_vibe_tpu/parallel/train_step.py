@@ -62,8 +62,8 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     optimizer = make_optimizer(tcfg)
     use_cp = mesh is not None and tcfg.sp > 1
     use_pp = mesh is not None and tcfg.pp > 1
-    if use_pp and (tcfg.varlen or tcfg.sp > 1 or tcfg.tp > 1):
-        raise ValueError("pp composes with dp/fsdp only (no varlen/sp/tp yet)")
+    if use_pp and (tcfg.sp > 1 or tcfg.tp > 1):
+        raise ValueError("pp composes with dp/fsdp/varlen only (no sp/tp yet)")
 
     collect = tcfg.gate_stats
 
@@ -71,10 +71,15 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
         if use_pp:
             from nsa_vibe_tpu.parallel.pipeline import pipeline_model_loss
 
+            if tcfg.varlen:
+                toks, seq_start, loss_mask = tok_row
+            else:
+                toks, seq_start, loss_mask = tok_row, None, None
             loss, aux = pipeline_model_loss(
-                params, tok_row, mcfg, mesh,
+                params, toks, mcfg, mesh,
                 microbatches=tcfg.pp_microbatches, collect_aux=collect,
                 fsdp=tcfg.fsdp, fsdp_min=tcfg.fsdp_min_size,
+                seq_start=seq_start, loss_mask=loss_mask,
             )
             return loss, aux
         if tcfg.varlen:

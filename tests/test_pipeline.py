@@ -128,7 +128,7 @@ def test_pp_train_step_matches_dp():
 
 def test_pp_rejects_bad_composition():
     params, _ = _setup()
-    tcfg = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, varlen=True)
+    tcfg = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, sp=2)
     mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="pp composes"):
         build_state_and_step(params, MCFG, tcfg, mesh)
@@ -137,6 +137,49 @@ def test_pp_rejects_bad_composition():
                             jnp.zeros((4, 65), jnp.int32),
                             dataclasses.replace(MCFG, n_layers=3),
                             mesh)
+    with pytest.raises(ValueError, match="together"):
+        pipeline_model_loss(stack_blocks(params),
+                            jnp.zeros((4, 65), jnp.int32), MCFG, mesh,
+                            seq_start=jnp.zeros((4, 64), jnp.int32))
+
+
+def test_pp_varlen_train_step_matches_dp():
+    """pp x varlen (the packed-data configuration pod training actually
+    runs): two integrated steps of --pp 2 --varlen equal the plain
+    dp+varlen step — masked loss, gate stats, and updated params."""
+    S = 64
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, MCFG.vocab_size, (2, 1, 4, S + 1)),
+                       jnp.int32)
+    # two l_sel-aligned documents per row: [0, 32) and [32, 64)
+    ds_row = np.concatenate([np.zeros(32), np.full(32, 32)])
+    ds = jnp.broadcast_to(jnp.asarray(ds_row, jnp.int32), (2, 1, 4, S))
+    lm = jnp.asarray((rng.random((2, 1, 4, S)) > 0.2).astype(np.float32))
+
+    tcfg = TrainConfig(steps=4, batch_size=4, seq_len=S, lr=1e-3,
+                       warmup_steps=1, varlen=True, gate_stats=True)
+    mesh_dp = make_mesh(dp=4, devices=jax.devices()[:4])
+    step_dp, state_dp, shard_dp = build_state_and_step(
+        _setup()[0], MCFG, tcfg, mesh_dp)
+
+    tcfg_pp = dataclasses.replace(tcfg, pp=2, dp=2, pp_microbatches=2)
+    mesh_pp = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
+    step_pp, state_pp, shard_pp = build_state_and_step(
+        init_model_params(jax.random.PRNGKey(0), MCFG), MCFG, tcfg_pp, mesh_pp)
+
+    m_dp = m_pp = None
+    for i in range(2):
+        batch = (toks[i], ds[i], lm[i])
+        state_dp, m_dp = step_dp(state_dp, jax.device_put(batch, shard_dp))
+        state_pp, m_pp = step_pp(state_pp, jax.device_put(batch, shard_pp))
+        assert abs(float(m_dp["loss"]) - float(m_pp["loss"])) < 1e-5, i
+        assert bool(m_pp["good"])
+    assert int(m_pp["tokens"]) == int(lm[1].sum())
+    assert abs(float(m_dp["gate_entropy"]) - float(m_pp["gate_entropy"])) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(state_dp.params),
+                    jax.tree_util.tree_leaves(
+                        unstack_blocks(state_pp.params, MCFG.n_layers))):
+        assert float(jnp.abs(a - b).max()) < 1e-5
 
 
 def test_pp_remat_and_bf16():

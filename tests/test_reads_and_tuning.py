@@ -11,9 +11,12 @@ from nsa_vibe_tpu.core.config import NSAConfig
 from nsa_vibe_tpu.core.decode import nsa_decode_step
 from nsa_vibe_tpu.core.nsa import init_nsa_params
 from nsa_vibe_tpu.ops.block_index import num_cmp_blocks
+from nsa_vibe_tpu.ops.selection import effective_sel_blocks
 
 CFG = NSAConfig(dim=32, n_heads=2, n_kv_groups=1, d_k=16, d_v=16,
                 l=8, d=4, l_sel=8, n_sel=2, w=8, kernel="reference")
+# n_sel=2 < forced init+2 local slots: the true gather width is 3 blocks
+N_EFF = effective_sel_blocks(CFG.n_sel, CFG.force_init, CFG.force_local)
 
 
 def test_decode_reads_trend():
@@ -29,12 +32,41 @@ def test_decode_reads_trend():
         _, cache, info = step(params, x, cache)
         s = t + 1
         expect = (int(num_cmp_blocks(s, CFG.l, CFG.d))
-                  + CFG.n_sel * CFG.l_sel + min(CFG.w, s))
+                  + N_EFF * CFG.l_sel + min(CFG.w, s))
         assert int(info.reads_pred) == expect, (t, int(info.reads_pred), expect)
         preds.append(int(info.reads_pred))
     assert preds == sorted(preds)                       # monotone non-decreasing
     # win saturated + cmp still growing at the tail
     assert preds[-1] - preds[-CFG.d - 1] == 1
+
+
+def test_decode_actual_reads_bounded_by_pred():
+    """reads_actual_* are counted from the masks the step really applied
+    (not the budget formula): always <= the per-branch predictions, with
+    selection strictly under its padded n*l' width once blocks clamp at
+    the sequence head — the divergence the formula-only column could
+    never show (reference kv_cache.py:51-65 actual counters)."""
+    params = init_nsa_params(jax.random.PRNGKey(0), CFG)
+    cache = init_cache(CFG, 1, capacity=64)
+    step = jax.jit(lambda p, x, c: nsa_decode_step(p, x, c, CFG))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, CFG.dim))
+    saw_sel_underfill = False
+    for t in range(40):
+        _, cache, info = step(params, x, cache)
+        a_cmp, a_sel, a_win = (float(info.reads_actual_cmp),
+                               float(info.reads_actual_sel),
+                               float(info.reads_actual_win))
+        assert a_cmp == int(info.reads_cmp), t      # cmp mask == formula
+        assert a_win == int(info.reads_win), t      # win mask == formula
+        assert a_sel <= int(info.reads_sel) + 1e-6, t
+        assert abs(float(info.reads_actual) - (a_cmp + a_sel + a_win)) < 1e-4
+        assert float(info.reads_actual) <= float(info.reads_pred) + 1e-6, t
+        # early steps: < n*l_sel tokens exist, so the padded gather is
+        # necessarily under-filled — actual must see it
+        if t + 1 < N_EFF * CFG.l_sel:
+            assert a_sel <= t + 1 + 1e-6, (t, a_sel)
+            saw_sel_underfill = saw_sel_underfill or a_sel < N_EFF * CFG.l_sel
+    assert saw_sel_underfill
 
 
 def test_tuning_defaults_and_override(tmp_path, monkeypatch):
@@ -71,5 +103,5 @@ def test_decode_reads_independent_of_batch():
         cache = init_cache(CFG, B, capacity=32)
         x = jax.random.normal(jax.random.PRNGKey(1), (B, 1, CFG.dim))
         _, _, info = step(params, x, cache)
-        assert int(info.reads_pred) == CFG.n_sel * CFG.l_sel + 1
+        assert int(info.reads_pred) == N_EFF * CFG.l_sel + 1
         assert np.isfinite(float(info.sel_valid_tokens))
