@@ -27,7 +27,8 @@ BASELINE_MS = {128: 5.86, 256: 5.93, 512: 5.89, 1024: 5.99,
 SWEEP_S = (512, 1024, 2048, 4096)
 
 
-def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
+def bench_decode(S: int = 1024, iters: int = 128, warmup: int = 8,
+                 trials: int = 5) -> float:
     from nsa_vibe_tpu.core.cache import cache_from_prefill
     from nsa_vibe_tpu.core.config import NSAConfig
     from nsa_vibe_tpu.core.decode import nsa_decode_step
@@ -39,7 +40,10 @@ def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
     x_ctx = jax.random.normal(jax.random.PRNGKey(1), (1, S, cfg.dim), jnp.bfloat16)
 
     _, aux = jax.jit(lambda p, x: nsa_prefill(p, x, cfg))(params, x_ctx)
-    cache = cache_from_prefill(cfg, aux, capacity=S + iters + warmup + 8)
+    # capacity covers EVERY timed step (trials keep appending to one
+    # cache) — an overflowing cache clamps writes and decodes garbage
+    cache = cache_from_prefill(cfg, aux,
+                               capacity=S + trials * iters + warmup + 8)
 
     step = jax.jit(lambda p, xt, c: nsa_decode_step(p, xt, c, cfg), donate_argnums=(2,))
     x_tok = jax.random.normal(jax.random.PRNGKey(2), (1, 1, cfg.dim), jnp.bfloat16)
@@ -49,8 +53,12 @@ def bench_decode(S: int = 1024, iters: int = 64, warmup: int = 8) -> float:
     for _ in range(warmup):
         out, cache, _ = step(params, x_tok, cache)
     _ = float(out[0, 0, 0])
+    # min over MORE trials with LONGER runs (r3 de-flake: the dispatched
+    # number is tunnel-latency dominated — device-only is ~24 us — and at
+    # iters=64/trials=3 run-to-run spread reached +10%, double the decode
+    # guard's tolerance; see scripts/check_decode_guard.py)
     best = float("inf")
-    for _trial in range(3):      # min over trials: tunnel latency is noisy
+    for _trial in range(trials):
         t0 = time.perf_counter()
         for _ in range(iters):
             out, cache, _ = step(params, x_tok, cache)

@@ -57,6 +57,21 @@ VARIANTS = [
     ("scorer-q256", {"scorer.block_q": 256}),
 ]
 
+# r3 backward-tile sweep (run with --only, AFTER ab_select --write merged
+# the phase-1 winner into kernel_tuning.json so these stack on it): the
+# backward is 2/3 of the step and its q-tiles were pinned to 128 by VMEM;
+# the onepass fastpath now VMEM-guards itself (auto-off when the dual-body
+# logits exceed 6 MB), so 256-row tiles are safely sweepable.
+VARIANTS += [
+    ("bwd-oneq256", {"win.bwd_block_q": 256}),          # fastpath auto-off
+    ("bwd-oneq256k256", {"win.bwd_block_q": 256,
+                         "win.bwd_block_k": 256}),      # fastpath stays on
+    ("sel-bwdq256", {"sel.bwd_block_q": 256}),
+    ("sel-bwdq256-win256", {"sel.bwd_block_q": 256,
+                            "win.bwd_block_q": 256,
+                            "win.bwd_block_k": 256}),
+]
+
 
 def run_variant(name: str, overrides: dict, args) -> dict:
     with open(os.path.join(REPO, "configs", "kernel_tuning.json")) as f:

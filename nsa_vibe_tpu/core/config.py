@@ -52,6 +52,13 @@ class NSAConfig:
     # (reference docs/NSA_CHUNKED_SELECTION_SPEC.md). 0 = no chunking.
     prefill_chunk: int = 0
 
+    # Window-exact avg-ϕ pooling: cross-document influence through the cmp
+    # branch is exactly 0.0 under varlen packing (the default O(S) cumsum
+    # pooling carries ~1 ulp of earlier-document round-off — see
+    # ops/varlen.py header and ops/compress.py::avg_pool_phi). Off by
+    # default: costs O(S*l/d) adds instead of O(S). conv ϕ is always exact.
+    varlen_exact: bool = False
+
     def __post_init__(self) -> None:
         if self.n_heads % self.n_kv_groups != 0:
             raise ValueError("n_heads must be divisible by n_kv_groups")

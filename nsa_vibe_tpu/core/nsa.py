@@ -182,6 +182,7 @@ def nsa_prefill(
             K_cmp_raw, V_cmp_raw, cfg.l, cfg.d, pos=rope_k_pos,
             k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
             rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
+            exact=cfg.varlen_exact,
         )
     S_cmp = K_cmp.shape[2]
     # static per-position visible-compressed-token counts

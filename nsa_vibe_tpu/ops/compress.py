@@ -23,10 +23,19 @@ import jax.numpy as jnp
 from nsa_vibe_tpu.ops.rope import apply_rope
 
 
-def avg_pool_phi(x: jnp.ndarray, l: int, d: int) -> jnp.ndarray:
+def avg_pool_phi(x: jnp.ndarray, l: int, d: int, exact: bool = False) -> jnp.ndarray:
     """Overlapped average pooling over the time axis.
 
     x: [..., S, D]  ->  [..., S_cmp, D] with S_cmp = (S - l)//d + 1 (0 if S < l).
+
+    exact=False (default): O(S) cumsum trick — window j is
+    csum[j+r]-csum[j], so both terms carry ALL earlier mass; exact in
+    real arithmetic, ~1 ulp of f32 round-off in packed varlen rows
+    (cross-document influence bounded by pooling round-off).
+    exact=True: direct r-term windowed sum — each window touches ONLY its
+    own l inputs, so cross-document influence through the cmp branch is
+    exactly 0.0 for d-aligned document starts (cfg.varlen_exact; O(S*r)
+    adds instead of O(S), off the hot path by default).
     """
     S = x.shape[-2]
     if S < l:
@@ -37,6 +46,11 @@ def avg_pool_phi(x: jnp.ndarray, l: int, d: int) -> jnp.ndarray:
     usable = n_chunks * d
     chunks = x[..., :usable, :].reshape(*x.shape[:-2], n_chunks, d, x.shape[-1])
     chunk_sum = chunks.sum(axis=-2)  # [..., n_chunks, D]
+    if exact:
+        win_sum = chunk_sum[..., 0:S_cmp, :]
+        for i in range(1, r):
+            win_sum = win_sum + chunk_sum[..., i:i + S_cmp, :]
+        return win_sum / float(l)
     csum = jnp.cumsum(chunk_sum, axis=-2)
     zero = jnp.zeros_like(csum[..., :1, :])
     csum = jnp.concatenate([zero, csum], axis=-2)  # [..., n_chunks+1, D]
@@ -80,12 +94,14 @@ def pool_phi_rope_kv(
     v_weight: Optional[jnp.ndarray] = None,
     rope_base: float = 10000.0,
     rope_scale: float = 1.0,
+    exact: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """ϕ over K (RoPE'd at absolute positions) and V.
 
     K_raw/V_raw: [B, G, S, D*]; pos: [S] absolute positions (default arange).
     Returns (K_cmp, V_cmp): [B, G, S_cmp, D*]. Average pooling unless conv
-    weights are given.
+    weights are given. `exact`: window-exact avg pooling (see avg_pool_phi;
+    conv ϕ is window-exact by construction — a real strided conv).
     """
     S = K_raw.shape[2]
     if pos is None:
@@ -95,6 +111,6 @@ def pool_phi_rope_kv(
         K_cmp = conv_phi(K_rope, k_weight, l, d)
         V_cmp = conv_phi(V_raw, v_weight, l, d)
     else:
-        K_cmp = avg_pool_phi(K_rope, l, d)
-        V_cmp = avg_pool_phi(V_raw, l, d)
+        K_cmp = avg_pool_phi(K_rope, l, d, exact=exact)
+        V_cmp = avg_pool_phi(V_raw, l, d, exact=exact)
     return K_cmp, V_cmp

@@ -409,7 +409,11 @@ def _onepass_bwd_kernel(
     # dead steps rewrites an existing slot's partial sum — harmless).
     # Dead steps whose slot would alias an UNINITIALIZED tile are masked
     # by first_visit semantics: a clamped qt equals a live tile of this
-    # ki, whose slot is valid.
+    # ki, whose slot is valid. (A last-visit-only store is NOT possible:
+    # Pallas flushes the out block to HBM on every out-index change
+    # whether or not the kernel wrote it, so a skipped write would flush
+    # stale buffer contents into this step's block — and the HBM copy
+    # traffic is driven by the BlockSpec revisits, not the VMEM store.)
     Dk_o = dq_ref.shape[4]
     dq_ref[0, :, 0] = dq_scr[pl.dslice(slot0, rows), :].reshape(
         block_q, h, Dk_o).astype(dq_ref.dtype)
@@ -451,6 +455,12 @@ def flash_banded_bwd_onepass(
         fastpath = bool(tuned("flash.fastpath"))
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
+    # VMEM guard (mirrors flash_banded's): the fastpath branch keeps both
+    # bodies' [rows, block_k] f32 intermediates live — at 256-row q tiles
+    # with bk=512 that alone is ~12 MB and compile-OOMs. Drop the flag
+    # instead of failing so tile sweeps stay runnable.
+    if fastpath and 2 * block_q * h * block_k * 4 > 6 * 2**20:
+        fastpath = False
 
     q_chunk = 2048
     if S > q_chunk and S % q_chunk == 0:

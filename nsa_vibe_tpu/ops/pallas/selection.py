@@ -38,7 +38,7 @@ NEG_INF = float(np.finfo(np.float32).min)
 
 def _sel_kernel(
     sel_ref, tpos_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, l_sel: int, scale: float, n: int, s_kv: int,
+    *, l_sel: int, scale: float, n: int, s_kv: int, ragged: bool,
 ):
     b = pl.program_id(0)
     s = pl.program_id(1)
@@ -52,7 +52,9 @@ def _sel_kernel(
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     blk = sel_ref[b, s, g, j]
-    t = tpos_ref[s]
+    # ragged: every batch row decodes at its own depth (serving /
+    # continuous batching) — per-row positions come in as [B, S]
+    t = tpos_ref[b, s] if ragged else tpos_ref[s]
 
     @pl.when(blk >= 0)
     def _compute():
@@ -97,7 +99,8 @@ def selection_attention_pallas(
     K: jnp.ndarray,        # [B, G, S_kv, Dk]
     V: jnp.ndarray,        # [B, G, S_kv, Dv]
     sel_idx: jnp.ndarray,  # [B, S, G, n] int32, sorted asc, -1 padded
-    t_pos: jnp.ndarray,    # [S] int32 absolute query positions
+    t_pos: jnp.ndarray,    # [S] int32 absolute query positions, or [B, S]
+                           # per-row positions (ragged decode/serving)
     *,
     l_sel: int,
     scale: float,
@@ -111,7 +114,8 @@ def selection_attention_pallas(
     one jit) to bound the prefetch footprint.
     """
     B, S, G, h, Dk = Q.shape
-    if S > q_chunk and S % q_chunk == 0:
+    ragged = t_pos.ndim == 2
+    if not ragged and S > q_chunk and S % q_chunk == 0:
         nchunk = S // q_chunk
         Qc = Q.reshape(B, nchunk, q_chunk, G, h, Dk).transpose(1, 0, 2, 3, 4, 5)
         selc = sel_idx.reshape(B, nchunk, q_chunk, G, -1).transpose(1, 0, 2, 3, 4)
@@ -154,7 +158,8 @@ def selection_attention_pallas(
             pltpu.VMEM((h, Dv), jnp.float32),
         ],
     )
-    kernel = functools.partial(_sel_kernel, l_sel=l_sel, scale=scale, n=n, s_kv=S_kv)
+    kernel = functools.partial(_sel_kernel, l_sel=l_sel, scale=scale, n=n,
+                               s_kv=S_kv, ragged=ragged)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

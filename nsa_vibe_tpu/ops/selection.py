@@ -54,17 +54,24 @@ def compute_pcmp_masked(
     """Eq. 8 with per-row visibility: token t sees only the first num_cmp(t)
     compressed tokens. Rows with num_cmp(t)==0 yield all-zero probabilities.
 
-    num_cmp_t: [S] int32.  Returns [B,S,G,h,S_cmp] float32.
+    num_cmp_t: [S] int32, or [B,S] for ragged batches where every batch
+    row sits at its own depth (serving). Returns [B,S,G,h,S_cmp] float32.
     """
     S_cmp = K_cmp.shape[2]
     logits = jnp.einsum(
         "bsghd,bgcd->bsghc", Q.astype(jnp.float32), K_cmp.astype(jnp.float32)
     ) * scale
-    c_idx = jnp.arange(S_cmp)[None, :]                       # [1, S_cmp]
-    visible = c_idx < num_cmp_t[:, None]                     # [S, S_cmp]
-    logits = jnp.where(visible[None, :, None, None, :], logits, NEG_INF)
+    c_idx = jnp.arange(S_cmp)
+    if num_cmp_t.ndim == 1:
+        visible = c_idx[None, :] < num_cmp_t[:, None]           # [S, S_cmp]
+        vis = visible[None, :, None, None, :]
+        any_visible = (num_cmp_t > 0)[None, :, None, None, None]
+    else:
+        visible = c_idx[None, None, :] < num_cmp_t[..., None]   # [B, S, S_cmp]
+        vis = visible[:, :, None, None, :]
+        any_visible = (num_cmp_t > 0)[:, :, None, None, None]
+    logits = jnp.where(vis, logits, NEG_INF)
     p = jax.nn.softmax(logits, axis=-1)
-    any_visible = (num_cmp_t > 0)[None, :, None, None, None]
     return jnp.where(any_visible, p, 0.0)
 
 
@@ -112,7 +119,8 @@ def select_topn_blocks(
 ) -> jnp.ndarray:
     """Deterministic top-n selection-block choice (Eq. 11-12).
 
-    p_grp: [B,S,G,S_sel] group scores; t_pos: [S] absolute query positions.
+    p_grp: [B,S,G,S_sel] group scores; t_pos: [S] absolute query
+    positions, or [B,S] for ragged batches (per-row depths, serving).
     Returns sel_idx [B,S,G,max(n_top,n_forced)] int32: unique block
     indices sorted ascending, -1 padding at the tail (width exceeds n_top
     only for degenerate configs whose forced init/local slots alone
@@ -121,21 +129,28 @@ def select_topn_blocks(
     B, S, G, S_sel = p_grp.shape
     t_pos = t_pos.astype(jnp.int32)
     blk = jnp.arange(S_sel, dtype=jnp.int32)
+    # [S, S_sel] masks broadcast over B in the uniform case; [B, S, S_sel]
+    # when t_pos carries per-row depths
+    bx = (lambda m: m[None, :, None, :]) if t_pos.ndim == 1 \
+        else (lambda m: m[:, :, None, :])
 
     # candidates: block start <= t (partial trailing block allowed)
-    valid = (blk[None, :] * l_sel) <= t_pos[:, None]                  # [S, S_sel]
-    scores = jnp.where(valid[None, :, None, :], p_grp.astype(jnp.float32), NEG_INF)
+    valid = (blk * l_sel) <= t_pos[..., None]
+    scores = jnp.where(bx(valid), p_grp.astype(jnp.float32), NEG_INF)
 
-    forced = forced_block_ids(t_pos, l_sel, force_init, force_local)  # [S, F]
+    forced = forced_block_ids(
+        t_pos.reshape(-1), l_sel, force_init, force_local
+    ).reshape(*t_pos.shape, -1)                               # [..., F]
     F = forced.shape[-1]
     if F > 0:
         forced_mask = jnp.any(
-            blk[None, :, None] == forced[:, None, :], axis=-1
-        )                                                             # [S, S_sel]
-        scores = jnp.where(forced_mask[None, :, None, :], NEG_INF, scores)
+            blk[:, None] == forced[..., None, :], axis=-1
+        )                                                     # [..., S_sel]
+        scores = jnp.where(bx(forced_mask), NEG_INF, scores)
 
     k_rest = max(0, n_top - F)
-    picks = [jnp.broadcast_to(forced[None, :, None, :], (B, S, G, F))] if F else []
+    fexp = forced[None, :, None, :] if t_pos.ndim == 1 else forced[:, :, None, :]
+    picks = [jnp.broadcast_to(fexp, (B, S, G, F))] if F else []
     if k_rest > 0:
         # float32 composite with index tie-break (prefer lower index)
         composite = scores - blk.astype(jnp.float32)[None, None, None, :] * 1e-8
@@ -149,7 +164,9 @@ def select_topn_blocks(
 
     # clamp forced picks into the valid causal set (forced ids are always
     # <= t//l_sel so start <= t holds by construction; keep a guard anyway)
-    sel = jnp.where(sel * l_sel <= t_pos[None, :, None, None], sel, -1)
+    t_exp = (t_pos[None, :, None, None] if t_pos.ndim == 1
+             else t_pos[:, :, None, None])
+    sel = jnp.where(sel * l_sel <= t_exp, sel, -1)
 
     # unique ascending with -1 tail: sort with -1 -> +BIG, drop duplicate
     # neighbors, map BIG back to -1.

@@ -166,6 +166,7 @@ def nsa_attention_cp_local(
         pos=pool_pos,
         k_weight=params.get("phi_k"), v_weight=params.get("phi_v"),
         rope_base=cfg.rope_base, rope_scale=cfg.rope_scale,
+        exact=cfg.varlen_exact,
     )
     num_cmp_t = jnp.minimum(num_cmp_traced(t_pos + 1, cfg.l, cfg.d), S_cmp)
 

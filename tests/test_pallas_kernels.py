@@ -124,6 +124,35 @@ def test_sel_single_query_decode_shape():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=TOL)
 
 
+def test_sel_gather_kernel_ragged_per_row_t():
+    """Per-row positions (t_pos [B, S]): each batch row decoding at its
+    own depth must equal the same row run alone with a scalar t — the
+    serving/continuous-batching kernel path (r3)."""
+    B, G, h, D, S_kv = 3, 2, 4, 32, 128
+    l_sel, n = 16, 4
+    Q, K, V = _rand(B, 1, G, h, D), _rand(B, G, S_kv, D), _rand(B, G, S_kv, D)
+    depths = jnp.array([5, 37, 100], jnp.int32)
+    sel = jnp.stack([
+        jnp.array([[0, -1, -1, -1]] * G, jnp.int32),        # t=5: block 0 only
+        jnp.array([[0, 1, 2, -1]] * G, jnp.int32),          # t=37
+        jnp.array([[0, 2, 5, 6]] * G, jnp.int32),           # t=100
+    ])[:, None]                                             # [B,1,G,n]
+    got = selection_attention_pallas(Q, K, V, sel, depths[:, None],
+                                     l_sel=l_sel, scale=0.2, interpret=True)
+    for i in range(B):
+        want = selection_attention_pallas(
+            Q[i:i + 1], K[i:i + 1], V[i:i + 1], sel[i:i + 1],
+            depths[i:i + 1], l_sel=l_sel, scale=0.2, interpret=True)
+        np.testing.assert_allclose(np.asarray(got[i:i + 1]), np.asarray(want),
+                                   atol=TOL, err_msg=f"row {i}")
+    # and against the jnp oracle per row
+    for i in range(B):
+        want = ref.selection_attention(Q[i:i + 1], K[i:i + 1], V[i:i + 1],
+                                       sel[i:i + 1], depths[i:i + 1], l_sel, 0.2)
+        np.testing.assert_allclose(np.asarray(got[i:i + 1]), np.asarray(want),
+                                   atol=TOL, err_msg=f"oracle row {i}")
+
+
 def test_dispatch_layer_pallas_matches_reference_grads():
     # custom_vjp: pallas fwd + reference-recompute bwd == reference grads
     from nsa_vibe_tpu.ops import attention as attn

@@ -51,6 +51,38 @@ def test_varlen_prefill_matches_solo_docs(kernel):
                                    err_msg=f"doc@{start} kernel={kernel}")
 
 
+def test_varlen_exact_zero_cross_document_influence():
+    """cfg.varlen_exact: perturbing document A's tokens moves document
+    B's outputs by EXACTLY 0.0 — including through the cmp branch, whose
+    default O(S) cumsum pooling carries ~1 ulp of doc-A round-off (the
+    masks are exact either way; this closes the last numeric channel —
+    the isolation contract /root/reference/nsa/core/attention_kernels.py:
+    391-702 aims at)."""
+    params, x, ds = _setup()
+    x_pert = x.at[:, :LEN_A].add(
+        jax.random.normal(jax.random.PRNGKey(9), (1, LEN_A, CFG.dim)))
+
+    def doc_b(cfg, xi):
+        out, _ = jax.jit(lambda p, xs, d: nsa_prefill(p, xs, cfg, seq_start=d),
+                         static_argnums=())(params, xi, ds)
+        return np.asarray(out[:, 48:48 + LEN_B])
+
+    # exact mode: bitwise-identical doc B under any doc A perturbation
+    cfg_x = CFG.replace(varlen_exact=True, force_branch="cmp")
+    np.testing.assert_array_equal(doc_b(cfg_x, x), doc_b(cfg_x, x_pert))
+    # and not just because cmp ignores everything: doc A itself changed
+    out_a1, _ = nsa_prefill(params, x, cfg_x, seq_start=ds)
+    out_a2, _ = nsa_prefill(params, x_pert, cfg_x, seq_start=ds)
+    assert float(jnp.abs(out_a1[:, :LEN_A] - out_a2[:, :LEN_A]).max()) > 0
+    # full model (all branches) under exact pooling: also bitwise
+    cfg_full = CFG.replace(varlen_exact=True)
+    np.testing.assert_array_equal(doc_b(cfg_full, x), doc_b(cfg_full, x_pert))
+    # exact pooling equals the default pooling to f32 round-off
+    base, _ = nsa_prefill(params, x, CFG, seq_start=ds)
+    ex, _ = nsa_prefill(params, x, cfg_full, seq_start=ds)
+    assert float(jnp.abs(base - ex).max()) < 1e-5
+
+
 def test_varlen_selection_is_doc_local():
     params, x, ds = _setup()
     _, aux = jax.jit(lambda p, x, ds: nsa_prefill(p, x, params_cfg(), seq_start=ds)
