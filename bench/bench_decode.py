@@ -147,6 +147,68 @@ def serve_ragged_bench(args) -> None:
     }))
 
 
+def serve_cb_bench(args) -> None:
+    """Steady-state CONTINUOUS-BATCHING throughput: every batch row sits
+    at its own depth (per-row t), chained jitted ragged decode steps
+    through the 4-layer model (models/tinylm.py::model_decode_step_ragged
+    — the step `cache.admit_row` joins new requests into). This is the
+    serving configuration the r3 batched ragged step (Pallas per-row-t
+    gather kernel) exists for; the r2 vmapped reference-path step left
+    the decode kernels idle exactly here."""
+    import numpy as np
+
+    from nsa_vibe_tpu.core.cache import ragged_cache
+    from nsa_vibe_tpu.core.config import ModelConfig
+    from nsa_vibe_tpu.models.tinylm import (
+        init_model_params,
+        model_decode_step_ragged,
+        model_prefill_with_caches,
+    )
+
+    iters = 128
+    cfg = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,
+                    d_k=64, d_v=64, l=32, d=16, l_sel=64, n_sel=16, w=512,
+                    kernel=args.kernel)
+    mcfg = ModelConfig(vocab_size=256, n_layers=4, nsa=cfg, dtype=args.dtype)
+    params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.dtype(args.dtype))
+    rng = np.random.default_rng(0)
+    B = args.batch
+    S0 = 1024
+    prompt = jnp.asarray(rng.integers(0, 256, (B, S0)), jnp.int32)
+    _, caches = jax.jit(lambda p, t: model_prefill_with_caches(
+        p, t, mcfg, S0 + iters * 4 + 8))(params, prompt)
+    # stagger rows to genuinely ragged depths (prefix of each row's cache
+    # is valid for any t <= S0)
+    depths = jnp.asarray(rng.integers(S0 // 2, S0, B), jnp.int32)
+    caches = [ragged_cache(c)._replace(t=depths) for c in caches]
+
+    @jax.jit
+    def run(params, tok0, caches):
+        def body(carry, _):
+            tok, caches = carry
+            logits, caches = model_decode_step_ragged(params, tok, caches, mcfg)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(tok.dtype)[:, None]
+            return (nxt, caches), logits[0, -1, 0]
+        (_, caches), probe = jax.lax.scan(
+            body, (prompt[:, :1], caches), None, length=iters)
+        return caches, probe[-1]
+
+    caches2, probe = run(params, prompt[:, :1], caches)   # compile + warm
+    _ = float(probe)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, probe = run(params, prompt[:, :1], caches)
+        _ = float(probe)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "mode": "serve-cb", "batch": B, "depth_min": int(depths.min()),
+        "depth_max": int(depths.max()), "layers": mcfg.n_layers,
+        "iters": iters, "ms_per_step": round(best / iters * 1e3, 4),
+        "toks_per_s": round(B * iters / best, 1),
+    }))
+
+
 def time_branches_isolated(params, cfg: NSAConfig, x_ctx, iters: int = 256):
     """Per-branch decode attention latency, each branch as its own chained
     jitted program over the prefilled cache (true isolation)."""
@@ -245,6 +307,10 @@ def main() -> None:
     ap.add_argument("--serve-ragged", dest="serve_ragged", action="store_true",
                     help="ragged-batch serving: different-length prompts in "
                          "one program (generate_ragged)")
+    ap.add_argument("--serve-cb", dest="serve_cb", action="store_true",
+                    help="steady-state continuous batching: chained ragged "
+                         "decode steps with per-row depths "
+                         "(model_decode_step_ragged)")
     args = ap.parse_args()
 
     if args.serve:
@@ -252,6 +318,9 @@ def main() -> None:
         return
     if args.serve_ragged:
         serve_ragged_bench(args)
+        return
+    if args.serve_cb:
+        serve_cb_bench(args)
         return
 
     sweep = [int(s) for s in args.S.split(",")]

@@ -32,25 +32,27 @@ def avg_pool_phi(x: jnp.ndarray, l: int, d: int, exact: bool = False) -> jnp.nda
     csum[j+r]-csum[j], so both terms carry ALL earlier mass; exact in
     real arithmetic, ~1 ulp of f32 round-off in packed varlen rows
     (cross-document influence bounded by pooling round-off).
-    exact=True: direct r-term windowed sum — each window touches ONLY its
-    own l inputs, so cross-document influence through the cmp branch is
-    exactly 0.0 for d-aligned document starts (cfg.varlen_exact; O(S*r)
-    adds instead of O(S), off the hot path by default).
+    exact=True: each window touches ONLY its own l inputs — a depthwise
+    conv with the constant 1/l kernel (conv ϕ machinery) — so
+    cross-document influence through the cmp branch is exactly 0.0 for
+    d-aligned document starts (cfg.varlen_exact; a strided conv instead
+    of O(S) adds, off the hot path by default).
     """
     S = x.shape[-2]
     if S < l:
         return x[..., :0, :]
     r = l // d
     S_cmp = (S - l) // d + 1
+    if exact:
+        lead = x.shape[:-2]
+        D = x.shape[-1]
+        x4 = x.reshape(-1, 1, S, D)
+        out = conv_phi(x4, jnp.full((D, l), 1.0 / float(l), jnp.float32), l, d)
+        return out.reshape(*lead, S_cmp, D)
     n_chunks = S_cmp - 1 + r
     usable = n_chunks * d
     chunks = x[..., :usable, :].reshape(*x.shape[:-2], n_chunks, d, x.shape[-1])
     chunk_sum = chunks.sum(axis=-2)  # [..., n_chunks, D]
-    if exact:
-        win_sum = chunk_sum[..., 0:S_cmp, :]
-        for i in range(1, r):
-            win_sum = win_sum + chunk_sum[..., i:i + S_cmp, :]
-        return win_sum / float(l)
     csum = jnp.cumsum(chunk_sum, axis=-2)
     zero = jnp.zeros_like(csum[..., :1, :])
     csum = jnp.concatenate([zero, csum], axis=-2)  # [..., n_chunks+1, D]

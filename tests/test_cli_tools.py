@@ -37,7 +37,9 @@ def test_bench_decode_cli_csv(tmp_path):
                  "--warmup", "1", "--kernel", "reference", "--csv", str(csv_path)])
     assert r.returncode == 0, r.stdout + r.stderr
     rows = list(csv.DictReader(open(csv_path)))
-    assert rows and int(rows[0]["reads_actual"]) == int(rows[0]["reads_expected"])
+    assert rows and int(rows[0]["reads_pred"]) == int(rows[0]["reads_expected"])
+    # actual is counted from the applied masks: never above the formula
+    assert float(rows[0]["reads_actual"]) <= int(rows[0]["reads_pred"])
 
 
 def test_train_toy_loss_drops():
