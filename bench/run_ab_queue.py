@@ -72,6 +72,19 @@ VARIANTS += [
                             "win.bwd_block_k": 256}),
 ]
 
+# r3 phase-2 outcomes (artifacts/published/ab_queue_r3.jsonl, on device):
+# every bwd-256 tile variant regressed or VMEM-OOM'd (58.4k vs 59.5k),
+# closing the VMEM-tile axis; a per-row block-membership BITMASK rebuild
+# of the sel masks (built natively at [rows, KB*l_sel], no head-broadcast
+# relayout) measured 58.3k vs 60.1k flags-on — the extra full-row-width
+# VPU work costs more than the relayout it removes, so the code was
+# REMOVED (see KERNELS.md dead ends). sel-bwdq64 measured 60.15k vs
+# 60.08k — noise-level, default stays 128. The static OOB-zeroing skips
+# landed unconditionally (+0.9% e2e, bit-identical).
+VARIANTS += [
+    ("sel-bwdq64", {"sel.bwd_block_q": 64}),
+]
+
 
 def run_variant(name: str, overrides: dict, args) -> dict:
     with open(os.path.join(REPO, "configs", "kernel_tuning.json")) as f:

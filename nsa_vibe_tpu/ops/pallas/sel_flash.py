@@ -40,6 +40,7 @@ def _scale_on_q() -> bool:
 
     return bool(tuned("flash.scale_on_q"))
 
+
 NEG_INF = float(np.finfo(np.float32).min)
 
 
@@ -89,12 +90,17 @@ def _sel_flash_kernel(
     def _compute():
         q = q_ref[0, :, 0]                                 # [Tq, h, Dk]
         Dk = q.shape[2]
-        qf = q.reshape(block_q * h, Dk)                    # rows t-major
+        rows = block_q * h
+        qf = q.reshape(rows, Dk)                           # rows t-major
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
+        last = jnp.maximum(cnt - 1, 0)
+        # every selected block is fully in range when l_sel divides S_kv —
+        # the OOB K/V zeroing (padded-block memory can be inf/NaN, which
+        # additive masking does not cancel) is then statically skipped
+        kv_full = s_kv % l_sel == 0
         sel_q = sel_ref[0, 0]                              # [Tq, n]
         tpos = (t0_ref[0] + qt * block_q
                 + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0))
-        kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
-        last = jnp.maximum(cnt - 1, 0)
         subs = []
         ks = []
         vs = []
@@ -102,17 +108,17 @@ def _sel_flash_kernel(
             jdx = j * KB + i
             blk_i = order_ref[b, g, qt, jnp.minimum(jdx, last)]
             live = jdx < cnt                               # padded slot -> dead
-            member = jnp.any(sel_q == blk_i, axis=-1) & live
             kpos = blk_i * l_sel + kiota
+            member = jnp.any(sel_q == blk_i, axis=-1) & live
             # float 0/1 masks: Mosaic cannot concatenate i1 vectors
             subs.append(
                 (member[:, None] & (kpos <= tpos)).astype(jnp.float32)
             )                                              # [Tq, l_sel]
             vrow = blk_i * l_sel + jax.lax.broadcasted_iota(jnp.int32, (l_sel, 1), 0)
-            # zero OOB rows of BOTH K and V: padded-block memory can be
-            # inf/NaN, which additive masking does not cancel
-            ks.append(jnp.where(vrow < s_kv, k_refs[i][0, 0], 0))
-            vs.append(jnp.where(vrow < s_kv, v_refs[i][0, 0], 0))
+            ks.append(k_refs[i][0, 0] if kv_full else
+                      jnp.where(vrow < s_kv, k_refs[i][0, 0], 0))
+            vs.append(v_refs[i][0, 0] if kv_full else
+                      jnp.where(vrow < s_kv, v_refs[i][0, 0], 0))
         qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
         logits = jax.lax.dot_general(
             qs, jnp.concatenate(ks, axis=0),
@@ -123,7 +129,7 @@ def _sel_flash_kernel(
         maskf = jnp.concatenate(subs, axis=-1)             # [Tq, KB*l_sel]
         maskf = jnp.broadcast_to(
             maskf[:, None, :], (block_q, h, KB * l_sel)
-        ).reshape(block_q * h, KB * l_sel)
+        ).reshape(rows, KB * l_sel)
         # additive masking: one FMA per element (vs compare+select chains);
         # exp(-1e30) underflows to exactly 0 so no post-zeroing needed
         # (reshaping the big f32 logits instead measures slower — the
@@ -264,6 +270,10 @@ def selection_flash_pallas(
         out_shape = [out_shape,
                      jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32)]
 
+    sel_arg = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)
+    sel_spec = pl.BlockSpec((1, 1, block_q, n),
+                            lambda b, g, qt, j, *_: (b, g, qt, 0),
+                            memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, G, nq, Jg),
@@ -271,9 +281,7 @@ def selection_flash_pallas(
             pl.BlockSpec((1, block_q, 1, h, Dk),
                          lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_q, n),
-                         lambda b, g, qt, j, *_: (b, g, qt, 0),
-                         memory_space=pltpu.VMEM),
+            sel_spec,
             *[pl.BlockSpec((1, 1, l_sel, Dk), kv_index(i), memory_space=pltpu.VMEM)
               for i in range(KB)],
             *[pl.BlockSpec((1, 1, l_sel, Dv), kv_index(i), memory_space=pltpu.VMEM)
@@ -291,13 +299,12 @@ def selection_flash_pallas(
         h=h, Jg=Jg, KB=KB, s_kv=S_kv, return_lse=return_lse,
     )
     t0 = _as_t0(pos_offset)
-    sel_t = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(order, count, t0, Q, sel_t, *([K] * KB), *([V] * KB))
+    )(order, count, t0, Q, sel_arg, *([K] * KB), *([V] * KB))
 
 
 # --------------------------- backward kernels ---------------------------
@@ -625,13 +632,24 @@ def selection_flash_bwd(
     return dq, dk, dv
 
 
+def _onepass_vmem_est(block_q, h, KB, l_sel, nq, Dk, Dv) -> int:
+    """Rough VMEM bytes for the one-pass sel backward's dominant buffers:
+    dq/dk/dv scratch + ~5 live [rows, KB*l_sel] f32 intermediates through
+    the matmul chain (logits, maskf, p, dpv, ds). Calibrated against the
+    measured Mosaic OOM at bq=256 (21.86M > 16M, v5e)."""
+    rows = block_q * h
+    scr = (nq * rows * Dk + KB * l_sel * (Dk + Dv)) * 4
+    inter = 5 * rows * KB * l_sel * 4
+    return scr + inter
+
+
 # ----------------------- one-pass backward -----------------------
 
 
 def _sel_onepass_bwd_kernel(
     orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref,
     lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
-    *, l_sel, scale, block_q, h, NQ, KB, s_kv, s,
+    *, l_sel, scale, block_q, h, NQ, KB, s_kv, s, kv_full,
 ):
     """kv-major ONE-pass backward: P/dS computed once per
     (kv-tile-group, q-tile) pair feed dV/dK (resident scratch) AND dQ
@@ -660,23 +678,25 @@ def _sel_onepass_bwd_kernel(
     def _compute():
         q = q_ref[0, :, 0]
         Dk = q.shape[2]
+        full_q = s % block_q == 0      # OOB q-row zeroing statically skipped
         srow = qt * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
         rowv = srow < s
-        q_z = jnp.where(rowv[:, :, None], q, 0)
+        q_z = q if full_q else jnp.where(rowv[:, :, None], q, 0)
         qf = q_z.reshape(rows, Dk)
         krow = (jg * KB * l_sel
                 + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
-        k = jnp.where(krow < s_kv, k_ref[0, 0], 0)
+        k = k_ref[0, 0] if kv_full else jnp.where(krow < s_kv, k_ref[0, 0], 0)
         qs, post = _q_scale_fold(qf, scale * LOG2E, _scale_on_q())
         logits = jax.lax.dot_general(
             qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         if post != 1.0:
             logits = logits * post
-        sel_q = sel_ref[0, 0]
-        tpos = t0_ref[0] + srow
+        flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         kiota = jax.lax.broadcasted_iota(jnp.int32, (1, l_sel), 1)
         subs = []
+        sel_q = sel_ref[0, 0]
+        tpos = t0_ref[0] + srow
         for i in range(KB):
             blk_i = jg * KB + i
             member = jnp.any(sel_q == blk_i, axis=-1)
@@ -686,22 +706,24 @@ def _sel_onepass_bwd_kernel(
         maskf = jnp.broadcast_to(
             maskf[:, None, :], (block_q, h, KB * l_sel)).reshape(rows, KB * l_sel)
         logits = logits + (maskf - 1.0) * 1e30
-        flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
         rowvf = (qt * block_q + flat // h) < s
-        lse = jnp.where(rowvf, _load_stats(lse_ref, qt * rows, rows), 1e30)
+        lse_raw = _load_stats(lse_ref, qt * rows, rows)
+        lse = lse_raw if full_q else jnp.where(rowvf, lse_raw, 1e30)
         p = jnp.exp2(logits - lse)
 
         do = do_ref[0, :, 0]
         Dv = do.shape[2]
-        dof = jnp.where(rowv[:, :, None], do, 0).reshape(rows, Dv)
+        do_z = do if full_q else jnp.where(rowv[:, :, None], do, 0)
+        dof = do_z.reshape(rows, Dv)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        vf = jnp.where(krow < s_kv, v_ref[0, 0], 0)
+        vf = v_ref[0, 0] if kv_full else jnp.where(krow < s_kv, v_ref[0, 0], 0)
         dpv = jax.lax.dot_general(
             dof, vf, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        delta = jnp.where(rowvf, _load_stats(delta_ref, qt * rows, rows),
-                          jnp.float32(0.0))
+        delta_raw = _load_stats(delta_ref, qt * rows, rows)
+        delta = delta_raw if full_q else jnp.where(rowvf, delta_raw,
+                                                   jnp.float32(0.0))
         ds = (p * (dpv - delta)).astype(q.dtype)
         dk_scr[:] += scale * jax.lax.dot_general(
             ds, qf, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -759,9 +781,14 @@ def selection_flash_bwd_onepass(
                 dv_total.astype(V.dtype))
 
     block_q = min(block_q, max(S, 8))
-    nq = pl.cdiv(S, block_q)
     J = pl.cdiv(S_kv, l_sel)
     KB = max(1, min(kv_batch, J))
+    # degrade oversized tiles instead of compile-OOMing (tile sweeps stay
+    # runnable; mirrors flash_banded's fastpath VMEM guard)
+    while block_q > 128 and _onepass_vmem_est(
+            block_q, h, KB, l_sel, pl.cdiv(S, block_q), Dk, Dv) > 14 * 2**20:
+        block_q //= 2
+    nq = pl.cdiv(S, block_q)
     Jg = pl.cdiv(J, KB)
     ta = _tile_active(sel_idx, nq, block_q, J)
     pad_j = Jg * KB - J
@@ -769,7 +796,11 @@ def selection_flash_bwd_onepass(
     ta_g = ta_g.reshape(*ta.shape[:2], nq, Jg, KB).any(-1)
     order_q, count_q = _compact_active(ta_g.transpose(0, 1, 3, 2))  # [B,G,Jg,nq]
 
-    sel_t = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)
+    sel_arg = sel_idx.astype(jnp.int32).transpose(0, 2, 1, 3)
+    sel_spec = pl.BlockSpec(
+        (1, 1, block_q, n),
+        lambda b, g, jg, qi, oq, cq, t0r: (b, g, q_index(b, g, jg, qi, oq, cq, t0r), 0),
+        memory_space=pltpu.VMEM)
 
     KV_pad = Jg * KB * l_sel
     if KV_pad != S_kv:
@@ -788,7 +819,8 @@ def selection_flash_bwd_onepass(
                              memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_sel_onepass_bwd_kernel, l_sel=l_sel, scale=scale,
-                          block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv, s=S),
+                          block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv, s=S,
+                          kv_full=KV_pad == S_kv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, G, Jg, nq),
@@ -796,9 +828,7 @@ def selection_flash_bwd_onepass(
                 pl.BlockSpec((1, block_q, 1, h, Dk),
                              lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, block_q, n),
-                             lambda b, g, jg, qi, oq, cq, t0r: (b, g, q_index(b, g, jg, qi, oq, cq, t0r), 0),
-                             memory_space=pltpu.VMEM),
+                sel_spec,
                 pl.BlockSpec((1, 1, KB * l_sel, Dk),
                              lambda b, g, jg, qi, *_: (b, g, jg, 0),
                              memory_space=pltpu.VMEM),
@@ -833,7 +863,7 @@ def selection_flash_bwd_onepass(
             jax.ShapeDtypeStruct(V_p.shape, V.dtype),
         ],
         interpret=interpret,
-    )(order_q, count_q, t0, Q, sel_t, K_p, V_p, dO, lse, delta)
+    )(order_q, count_q, t0, Q, sel_arg, K_p, V_p, dO, lse, delta)
     if KV_pad != S_kv:
         dk = dk[:, :, :S_kv]
         dv = dv[:, :, :S_kv]
