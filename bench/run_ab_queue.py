@@ -83,6 +83,14 @@ VARIANTS += [
 # landed unconditionally (+0.9% e2e, bit-identical).
 VARIANTS += [
     ("sel-bwdq64", {"sel.bwd_block_q": 64}),
+    # sel fwd q-tiles: the per-tile selection UNION is what the kernel
+    # computes; at bq=256 late tiles union ~all J blocks (max dead
+    # lanes). Smaller tiles tighten the union (the compaction skips
+    # more) at the cost of more grid steps.
+    ("sel-fwdq128", {"sel.block_q": 128}),
+    ("sel-fwdq64", {"sel.block_q": 64}),
+    # fwd win kv tile midpoint (queue only ever e2e'd 256 and 1024)
+    ("fwd-wink512", {"win.block_k": 512}),
 ]
 
 
