@@ -91,6 +91,10 @@ VARIANTS += [
     ("sel-fwdq64", {"sel.block_q": 64}),
     # fwd win kv tile midpoint (queue only ever e2e'd 256 and 1024)
     ("fwd-wink512", {"win.block_k": 512}),
+    # sel bwd kv_batch midpoint: KB=10 fits the one-pass VMEM estimate at
+    # bq128 (12.7 MB < 14); KB=12 would degrade block_q to 64 (two
+    # confounded changes), so it is not queued
+    ("sel-bwdkb10", {"sel.bwd_kv_batch": 10}),
 ]
 
 
@@ -105,6 +109,8 @@ def run_variant(name: str, overrides: dict, args) -> dict:
     cmd = [sys.executable, os.path.join(REPO, "bench", "bench_train.py"),
            "--batch", str(args.batch), "--seq", str(args.seq),
            "--steps", str(args.steps)]
+    if args.chained:
+        cmd += ["--chained"]
     t0 = time.time()
     out = subprocess.run(cmd, env=env, capture_output=True, text=True,
                          timeout=args.timeout)
@@ -127,6 +133,11 @@ def main() -> None:
     ap.add_argument("--timeout", type=int, default=1500)
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names")
+    ap.add_argument("--chained", action="store_true",
+                    help="use bench_train --chained (device-time per step; "
+                         "REQUIRED on a congested tunnel — mixing modes in "
+                         "one queue run breaks the loss gate, so use it for "
+                         "the whole run)")
     args = ap.parse_args()
     only = set(args.only.split(",")) if args.only else None
     log = os.path.join(REPO, "artifacts", "ab_queue.jsonl")
