@@ -128,6 +128,13 @@ def main() -> None:
     # the single-chip baseline (and to ab_queue records)
     toks = args.batch * args.seq / dt / n_chips
 
+    from nsa_vibe_tpu.utils.flops import mfu, train_step_flops
+
+    fl = train_step_flops(mcfg, args.batch, args.seq)
+    if args.remat:   # full-block remat recomputes the fwd in the bwd
+        fl["total"] += fl["fwd"] if args.remat is True else 0
+    eff = mfu(fl["total"] / n_chips, dt)
+
     print(json.dumps({
         "metric": "train_toks_per_s",
         "value": round(toks, 1),
@@ -142,6 +149,11 @@ def main() -> None:
         # key-value pairs attended per second (n_sel*l_sel per token row
         # per layer, the NSA sparse-read bound)
         "selected_nnz_per_s": round(toks * nsa.n_sel * nsa.l_sel * args.layers, 0),
+        # MFU (utils/flops.py conventions: 3x-fwd matmuls, exact per-
+        # position key reads per branch, v5e bf16 peak 197 TF/s)
+        "model_tflops_per_step": round(fl["total"] / 1e12, 2),
+        "achieved_tflops": eff["achieved_tflops"],
+        "mfu_pct": eff["mfu_pct"],
         "compile_s": round(compile_s, 1),
         "loss": round(float(metrics["loss"]), 4),
         "vs_baseline": round(toks / 23100.0, 3),
