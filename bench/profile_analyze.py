@@ -68,15 +68,26 @@ def aggregate(trace_dir: str, top: int) -> None:
     totals: dict = collections.defaultdict(float)
     count: dict = collections.defaultdict(int)
     wall = 0.0
+    import re
+
     for plane in device:
-        for line in plane.lines:
-            if line.name == "python":
-                continue
+        # ONLY the synchronous "XLA Ops" line: it is the serialized device
+        # timeline. The "Async XLA Ops" line carries DMA slice-start/done
+        # events whose durations span their in-flight window and OVERLAP
+        # compute — summing them triple-counts the step (r3's empty/wrong
+        # artifact came from aggregating every line).
+        lines = [ln for ln in plane.lines if ln.name == "XLA Ops"]
+        if not lines:
+            lines = [ln for ln in plane.lines if ln.name != "python"]
+        for line in lines:
             for e in line.events:
                 name = e.name
                 if name.startswith(("end:", "ThunkExecutor")) \
                         or e.duration_ns is None:
                     continue
+                # canonical op name: "%flash_banded.3 = bf16[...] ..." ->
+                # "flash_banded" so the 12 per-layer clones aggregate
+                name = re.sub(r"\.\d+$", "", name.split(" = ")[0].lstrip("%"))
                 totals[name] += e.duration_ns / 1e6
                 count[name] += 1
                 wall += e.duration_ns / 1e6
@@ -101,9 +112,13 @@ def main() -> None:
                     help="trace dir (default: temp dir, deleted after)")
     args = ap.parse_args()
 
+    import time
+
     step_fn, state, tokens = build_step(args)
+    t0 = time.time()
     state, metrics = step_fn(state, tokens)          # compile + warm
     _ = float(metrics["loss"])
+    print(f"compiled+step1 in {time.time() - t0:.1f}s", flush=True)
     state, metrics = step_fn(state, tokens)
     _ = float(metrics["loss"])
 
