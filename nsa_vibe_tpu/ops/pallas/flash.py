@@ -294,8 +294,22 @@ def flash_banded(
     their own document. Reaches the kernel two ways — a scalar-prefetched
     per-tile (first, last) pair for tile selection and a lane-flat
     [B, 1, S] row array for the in-kernel mask."""
+    from nsa_vibe_tpu.ops.tuning import tuned as _tuned
+
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
+    if (mode == "win" and w > 0 and S >= 128
+            and bool(_tuned("win.fwd_diag", 0))):
+        # diagonal band tiling: one grid step per q-tile fetching exactly
+        # the band as KB 128-wide operands, single-pass softmax — ~86%
+        # live lanes vs ~35% for axis-aligned tiles at the tuned sizes
+        from nsa_vibe_tpu.ops.pallas.flash_diag import flash_banded_diag
+
+        return flash_banded_diag(
+            Q, K, V, w=w, scale=scale,
+            block_q=int(_tuned("win.diag_block_q", 256)),
+            interpret=interpret, return_lse=return_lse, t_start=t_start,
+            seq_start=seq_start, scale_on_q=scale_on_q)
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(S_kv, 8))
     t0 = _as_t0(t_start)

@@ -57,6 +57,20 @@ DEFAULTS = {
     "flash.scale_on_q": 1,
     "flash.fastpath": 1,        # backward (one-pass) kernels
     "flash.fastpath_fwd": 0,    # forward flash_banded
+    # lane sub-tiling of the one-pass backward kernel bodies (flash_bwd /
+    # sel_flash `ksplit`): the ~5 live [rows, block_k] f32 intermediates
+    # shrink by the factor (DMA width and grid unchanged), which is what
+    # lets 256-row backward q-tiles compile inside 16 MB VMEM (r3 A/B
+    # log: bq256 missed by 3.04M win / 5.86M sel at ksplit=1). 1 = off.
+    "flash.bwd_ksplit": 1,
+    "sel.bwd_ksplit": 1,
+    # diagonal band tiling for the win FORWARD (ops/pallas/flash_diag.py):
+    # one grid step per q-tile fetching exactly the band as 128-wide
+    # operands, single-pass softmax. Attacks the measured ~35%-live-lane
+    # problem of axis-aligned tiles (docs/PERFORMANCE.md roofline). OFF
+    # until e2e-A/B'd on device.
+    "win.fwd_diag": 0,
+    "win.diag_block_q": 256,
     # fuse the 7 QKV projection matmuls into one (core/nsa.project_qkv):
     # per-column-identical numerics; OFF until e2e-A/B'd on device so the
     # r2-late validation baseline (57.4k @ loss 5.5535) stays bitwise
