@@ -46,6 +46,10 @@ def main() -> None:
                          "on a congested tunnel at identical device speed)")
     ap.add_argument("--reps", type=int, default=3,
                     help="timed repetitions in --chained mode (min wins)")
+    ap.add_argument("--varlen", action="store_true",
+                    help="packed-document (varlen) training batch: "
+                         "synthetic docs packed l_sel-aligned, doc-masked "
+                         "attention, loss-masked padding (ops.varlen)")
     args = ap.parse_args()
 
     from nsa_vibe_tpu.core.config import ModelConfig, NSAConfig, TrainConfig
@@ -57,7 +61,8 @@ def main() -> None:
     mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=nsa,
                        dtype="bfloat16", remat=args.remat)
     tcfg = TrainConfig(steps=args.steps, batch_size=args.batch, seq_len=args.seq,
-                       gate_stats=not args.no_stats, dp=args.dp, pp=args.pp)
+                       gate_stats=not args.no_stats, dp=args.dp, pp=args.pp,
+                       varlen=args.varlen)
 
     mesh = None
     if args.pp > 1 or args.dp > 1:
@@ -70,7 +75,17 @@ def main() -> None:
     step_fn, state, batch_shard = build_state_and_step(params, mcfg, tcfg, mesh=mesh)
 
     rng = np.random.default_rng(0)
-    batch = jnp.asarray(rng.integers(0, 256, (1, args.batch, args.seq + 1)), jnp.int32)
+    if args.varlen:
+        from nsa_vibe_tpu.ops.varlen import make_varlen_batches
+
+        toks, ds, lm = next(make_varlen_batches(
+            "synthetic", args.seq, args.batch, align=nsa.l_sel, seed=0))
+        batch = (jnp.asarray(toks, jnp.int32)[None],
+                 jnp.asarray(ds, jnp.int32)[None],
+                 jnp.asarray(lm, jnp.float32)[None])
+    else:
+        batch = jnp.asarray(
+            rng.integers(0, 256, (1, args.batch, args.seq + 1)), jnp.int32)
     if batch_shard is not None:
         batch = jax.device_put(batch, batch_shard)
 

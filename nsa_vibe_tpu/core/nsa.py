@@ -205,13 +205,22 @@ def nsa_prefill(
     # S_cmp == 0 (S < l): no compressed tokens — the fused kernel has no
     # K tiles to stream; fall through to the jnp path (whose scorer and
     # cmp branch both short-circuit to forced-blocks / zeros).
-    # Varlen: the fused scorer kernel has no doc-visibility support yet —
-    # score via the jnp varlen pipeline (branch kernels stay Pallas).
-    use_fused = (impl == "pallas" and S_cmp > 0 and not varlen
+    use_fused = (impl == "pallas" and S_cmp > 0
                  and scorer_fits_vmem(h, meta.S_sel))
     O_cmp = None
     with jax.named_scope("nsa.score_select"):
-        if varlen:
+        if use_fused:
+            # one fused pass: selection scores AND the cmp branch output
+            # share softmax(Q K_cmp^T) under the same prefix (+ doc, when
+            # varlen) visibility
+            sel_idx, O_cmp = attn_ops.fused_select_cmp(
+                Q, K_cmp, V_cmp, M,
+                scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
+                n_top=cfg.n_sel, force_init=cfg.force_init,
+                force_local=cfg.force_local, t_start=pos_offset,
+                seq_start=seq_start, interpret=interpret,
+            )
+        elif varlen:
             from nsa_vibe_tpu.ops.varlen import (
                 select_topn_blocks_varlen,
                 selection_scores_varlen,
@@ -222,16 +231,6 @@ def nsa_prefill(
             sel_idx = select_topn_blocks_varlen(
                 p_grp, cfg.n_sel, t_pos, seq_start, cfg.l_sel,
                 cfg.force_init, cfg.force_local)
-        elif use_fused:
-            # one fused pass: selection scores AND the cmp branch output
-            # share softmax(Q K_cmp^T) under the same prefix visibility
-            sel_idx, O_cmp = attn_ops.fused_select_cmp(
-                Q, K_cmp, V_cmp, M,
-                scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
-                n_top=cfg.n_sel, force_init=cfg.force_init,
-                force_local=cfg.force_local, t_start=pos_offset,
-                interpret=interpret,
-            )
         else:
             def score_and_select(q_c, t_c, nct_c):
                 p_grp = selection_scores(q_c, K_cmp, M, scale, nct_c)  # [B,c,G,S_sel]

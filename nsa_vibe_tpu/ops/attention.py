@@ -46,11 +46,13 @@ from nsa_vibe_tpu.ops.tuning import tuned
 def fused_select_cmp(
     Q, K_cmp, V_cmp, M, *, scale: float, l: int, d: int, l_sel: int,
     n_top: int, force_init: bool, force_local: int, t_start=None,
-    interpret: bool = False,
+    seq_start=None, interpret: bool = False,
 ):
     """Fused Eq. 8-12 selection + compressed-branch attention
     (ops.pallas.scorer.nsa_select_and_cmp_pallas) with the analytical
-    cmp flash backward. Returns (sel_idx [stop-grad by dtype], O_cmp)."""
+    cmp flash backward. Returns (sel_idx [stop-grad by dtype], O_cmp).
+    seq_start [B,S]: varlen document starts — threads doc visibility
+    through the fused kernel AND the cmp flash backward."""
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
     from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_and_cmp_pallas
 
@@ -66,6 +68,33 @@ def fused_select_cmp(
     kwb = dict(mode="cmp", l=l, d=d, scale=scale, interpret=interpret,
                block_k=tuned("cmp.fused_bwd_block_k", tuned("cmp.block_k")),
                block_q=tuned("cmp.fused_bwd_block_q", 128))
+
+    if seq_start is not None:
+        # traced int operands (t0, ds) are explicit custom_vjp arguments
+        # with float0 cotangents — see _flash_vjp for why
+        @jax.custom_vjp
+        def fv(t0, ds, Q, K, V, M):
+            sel, O, _ = nsa_select_and_cmp_pallas(
+                Q, K, V, M, pos_offset=t0, seq_start=ds, **kwf)
+            return sel, O
+
+        def fwdv(t0, ds, Q, K, V, M):
+            sel, O, lse = nsa_select_and_cmp_pallas(
+                Q, K, V, M, pos_offset=t0, seq_start=ds, **kwf)
+            return (sel, O), (t0, ds, Q, K, V, O, lse)
+
+        def bwdv(res, g):
+            t0, ds, Q, K, V, O, lse = res
+            _, gO = g
+            dq, dk, dv = _bwd_impl()(Q, K, V, gO, lse, _delta(gO, O),
+                                     t_start=t0, seq_start=ds, **kwb)
+            return (_int_cotangent(t0), _int_cotangent(ds), dq, dk, dv,
+                    jnp.zeros_like(M))
+
+        fv.defvjp(fwdv, bwdv)
+        sel, O = fv(_as_t0(t_start), seq_start.astype(jnp.int32),
+                    Q, K_cmp, V_cmp, M)
+        return (sel, O[:, :, :, :h]) if Q.shape[3] != h else (sel, O)
 
     @jax.custom_vjp
     def f(t0, Q, K, V, M):

@@ -39,16 +39,28 @@ NEG = float(np.finfo(np.float32).min)
 
 
 def _scorer_kernel(
-    t0_ref, q_ref, kc_ref, m_ref, o_ref, m_scr, l_scr, acc_scr,
-    *, scale: float, l: int, d: int, l_sel: int,
+    t0_ref, *refs,
+    scale: float, l: int, d: int, l_sel: int,
     n_top: int, n_forced: int, force_init: bool, force_local: int,
     block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
-    h_real=None,
+    h_real=None, varlen: bool = False,
 ):
     """Grid-streamed over S_cmp chunks: the Eq. 9 map M is tiled through
     VMEM by BlockSpec one [cmp_chunk, S_sel] slab at a time, so S_cmp is
     unbounded (64k+ prefill) while the p_slc accumulator stays
-    [rows, S_sel] in scratch."""
+    [rows, S_sel] in scratch.
+
+    varlen (document-masked packing, ops.varlen contract): two extra
+    lane-flat int operands carry per-FLAT-ROW and per-TOKEN document
+    starts; a pooled window j is visible iff j*d >= ds (in addition to
+    the prefix bound), and the top-n restricts candidates/forced blocks
+    to the query's own document [ds // l_sel, t // l_sel]."""
+    if varlen:
+        (q_ref, kc_ref, m_ref, dsrow_ref, dstok_ref,
+         o_ref, m_scr, l_scr, acc_scr) = refs
+    else:
+        q_ref, kc_ref, m_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        dsrow_ref = dstok_ref = None
     qt = pl.program_id(2)
     c = pl.program_id(3)
     q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
@@ -81,6 +93,13 @@ def _scorer_kernel(
     cidx = (c * cmp_chunk
             + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
     visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]
+    if varlen:
+        # doc bound (varlen.cmp_mask_varlen): window j covers packed
+        # [j*d, j*d+l) and is visible iff it starts inside the document
+        # (the prefix bound above already enforces j*d + l <= t+1)
+        lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
+        ds_r = jax.lax.transpose(lane, (1, 0))                        # [rows,1]
+        visible = visible & (cidx * d >= ds_r)
     logits = jnp.where(visible, logits, NEG)
     m_run = m_scr[:]
     m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
@@ -95,16 +114,21 @@ def _scorer_kernel(
 
     @pl.when(c == n_chunks - 1)
     def _finalize():
+        ds_t = None
+        if varlen:
+            ds_lane = dstok_ref[0, 0, :].reshape(1, block_q)
+            ds_t = jax.lax.transpose(ds_lane, (1, 0))                 # [Tq,1]
         _scorer_topn(
             acc_scr[:], l_scr[:], tpos, o_ref,
             l_sel=l_sel, n_top=n_top, n_forced=n_forced,
             force_init=force_init, force_local=force_local,
-            block_q=block_q, h=h, s_sel=s_sel, h_real=h_real,
+            block_q=block_q, h=h, s_sel=s_sel, h_real=h_real, ds_t=ds_t,
         )
 
 
 def _scorer_topn(acc, l_run, tpos, o_ref, *, l_sel, n_top, n_forced,
-                 force_init, force_local, block_q, h, s_sel, h_real=None):
+                 force_init, force_local, block_q, h, s_sel, h_real=None,
+                 ds_t=None):
     p_slc = acc / jnp.where(l_run > 0, l_run, 1.0)
     p_slc = jnp.where(l_run > 0, p_slc, 0.0)                          # rows w/o cmp tokens
     if h_real is not None and h_real != h:
@@ -118,13 +142,21 @@ def _scorer_topn(acc, l_run, tpos, o_ref, *, l_sel, n_top, n_forced,
     # --- deterministic top-n with forced blocks (Eq. 11-12) ---
     blk = jax.lax.broadcasted_iota(jnp.int32, (1, s_sel), 1)          # [1, S_sel]
     valid = (blk * l_sel) <= tpos                                     # [Tq, S_sel]
-    scores = jnp.where(valid, p_grp, NEG)
     last_blk = tpos // l_sel                                          # [Tq,1]
+    if ds_t is not None:
+        # doc-local candidates (varlen.select_topn_blocks_varlen): the
+        # forced "init" block is the FIRST BLOCK OF THE DOCUMENT, locals
+        # clamp to it, and no pick may precede it
+        first_blk = ds_t // l_sel                                     # [Tq,1]
+        valid = valid & (blk >= first_blk)
+    else:
+        first_blk = jnp.zeros_like(last_blk)
+    scores = jnp.where(valid, p_grp, NEG)
     forced_cols = []
     if force_init:
-        forced_cols.append(jnp.zeros_like(last_blk))
+        forced_cols.append(first_blk)
     for i in range(force_local):
-        forced_cols.append(jnp.maximum(last_blk - i, 0))
+        forced_cols.append(jnp.maximum(last_blk - i, first_blk))
     fmask = jnp.zeros((block_q, s_sel), jnp.bool_)
     for fc in forced_cols:
         fmask = fmask | (blk == fc)
@@ -162,15 +194,19 @@ def nsa_select_pallas(
     cmp_chunk: int = 512,
     interpret: bool = False,
     h_real: "int | None" = None,
+    seq_start: "jnp.ndarray | None" = None,
 ) -> jnp.ndarray:
     """Returns sel_idx [B, S, G, max(n_top, n_forced)] int32 (set
     representation; see module docstring — width exceeds n_top when the
     forced init/local slots alone exceed it, matching
     ops.selection.select_topn_blocks). h_real: real head count when Q
     carries a zero pad head (odd heads-per-group; see
-    attention._pad_odd_heads)."""
+    attention._pad_odd_heads). seq_start [B,S]: per-token document
+    starts (varlen packing, ops.varlen contract — requires
+    pos_offset == 0)."""
     B, S, G, h, Dk = Q.shape
     S_cmp, S_sel = M_csl.shape
+    varlen = seq_start is not None
     if S_cmp == 0:
         # no compressed tokens anywhere: forced blocks only
         from nsa_vibe_tpu.ops.selection import forced_block_ids
@@ -178,8 +214,16 @@ def nsa_select_pallas(
         t_pos = jnp.asarray(pos_offset, jnp.int32) + jnp.arange(S, dtype=jnp.int32)
         f = forced_block_ids(t_pos, l_sel, force_init, force_local)   # [S,F]
         F = f.shape[-1]
+        f = jnp.broadcast_to(f[None, :, None, :], (B, S, G, F))
+        if varlen:
+            # doc-local forced slots: init -> first doc block, locals
+            # clamp to it (varlen.select_topn_blocks_varlen semantics)
+            first = (seq_start.astype(jnp.int32) // l_sel)[:, :, None, None]
+            if force_init:
+                f = f.at[..., :1].set(jnp.broadcast_to(first, (B, S, G, 1)))
+            f = jnp.maximum(f, first)
         out = jnp.full((B, S, G, max(n_top, F)), -1, jnp.int32)
-        return out.at[..., :F].set(jnp.broadcast_to(f[None, :, None, :], (B, S, G, F)))
+        return out.at[..., :F].set(f)
 
     block_q = min(block_q, max(S, 8))
     cmp_chunk = min(cmp_chunk, max(S_cmp, 8))
@@ -203,24 +247,35 @@ def nsa_select_pallas(
         _scorer_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
         n_forced=n_forced, force_init=force_init, force_local=force_local,
         block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
-        s_cmp=S_cmp, s_sel=S_sel, h_real=h_real,
+        s_cmp=S_cmp, s_sel=S_sel, h_real=h_real, varlen=varlen,
     )
     t0 = _as_t0(pos_offset)
+    in_specs = [
+        pl.BlockSpec((1, block_q, 1, h, Dk),
+                     lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cmp_chunk, Dk),
+                     lambda b, g, qt, c, *_: (b, g, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cmp_chunk, S_sel), lambda b, g, qt, c, *_: (c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [t0, Q, K_cmp, M_f]
+    if varlen:
+        ds_row, ds_tok = _scorer_varlen_operands(seq_start, S, block_q, nq, h)
+        in_specs += [
+            pl.BlockSpec((1, 1, rows), lambda b, g, qt, c, *_: (b, 0, qt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, g, qt, c, *_: (b, 0, qt),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ds_row, ds_tok]
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, G, nq, n_chunks),
-            in_specs=[
-                pl.BlockSpec((1, block_q, 1, h, Dk),
-                             lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cmp_chunk, Dk),
-                             lambda b, g, qt, c, *_: (b, g, c, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((cmp_chunk, S_sel), lambda b, g, qt, c, *_: (c, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec((1, 1, block_q, n_out),
                                    lambda b, g, qt, c, *_: (b, g, qt, 0),
                                    memory_space=pltpu.VMEM),
@@ -232,24 +287,47 @@ def nsa_select_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((B, G, S, n_out), jnp.int32),
         interpret=interpret,
-    )(t0, Q, K_cmp, M_f)
+    )(*args)
     return out.transpose(0, 2, 1, 3)
 
 
+def _scorer_varlen_operands(seq_start: jnp.ndarray, S: int, block_q: int,
+                            nq: int, h: int):
+    """seq_start [B,S] -> (ds_row [B,1,Sp*h] per-FLAT-ROW doc starts,
+    ds_tok [B,1,Sp] per-token doc starts), edge-padded to the q-tile grid
+    (same layout recipe as flash._varlen_operands)."""
+    ds = seq_start.astype(jnp.int32)
+    Sp = nq * block_q
+    if Sp != S:
+        ds = jnp.pad(ds, ((0, 0), (0, Sp - S)), mode="edge")
+    ds_row = jnp.repeat(ds, h, axis=1)[:, None, :]
+    return ds_row, ds[:, None, :]
+
+
 def _select_cmp_kernel(
-    t0_ref, q_ref, kc_ref, vc_ref, m_ref, o_sel_ref, o_cmp_ref, lse_ref,
-    m_scr, l_scr, acc_slc, acc_o,
-    *, scale: float, l: int, d: int, l_sel: int,
+    t0_ref, *refs,
+    scale: float, l: int, d: int, l_sel: int,
     n_top: int, n_forced: int, force_init: bool, force_local: int,
     block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
-    h_real=None,
+    h_real=None, varlen: bool = False,
 ):
     """Fused Eq. 8-12 selection AND compressed-branch attention: both
     consume softmax(Q K_cmp^T) under the same prefix visibility, so one
     online-softmax pass feeds two accumulators — p @ M (-> top-n block
     ids) and p @ V_cmp (-> O_cmp + lse for the analytical backward).
     Halves the Q·K_cmp matmul/exp/mask work and drops one kernel launch
-    per layer vs running scorer + cmp flash separately."""
+    per layer vs running scorer + cmp flash separately.
+
+    varlen: see _scorer_kernel — the shared visibility gets the doc
+    bound, so the O_cmp accumulator equals compressed_attention_varlen
+    and the top-n restricts to the query's document."""
+    if varlen:
+        (q_ref, kc_ref, vc_ref, m_ref, dsrow_ref, dstok_ref,
+         o_sel_ref, o_cmp_ref, lse_ref, m_scr, l_scr, acc_slc, acc_o) = refs
+    else:
+        (q_ref, kc_ref, vc_ref, m_ref, o_sel_ref, o_cmp_ref, lse_ref,
+         m_scr, l_scr, acc_slc, acc_o) = refs
+        dsrow_ref = dstok_ref = None
     qt = pl.program_id(2)
     c = pl.program_id(3)
     q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
@@ -282,6 +360,10 @@ def _select_cmp_kernel(
     cidx = (c * cmp_chunk
             + jax.lax.broadcasted_iota(jnp.int32, (1, cmp_chunk), 1))
     visible = (cidx < num_cmp_r) & (cidx < s_cmp)                     # [rows, C]
+    if varlen:
+        lane = dsrow_ref[0, 0, :].reshape(1, block_q * h)
+        ds_r = jax.lax.transpose(lane, (1, 0))                        # [rows,1]
+        visible = visible & (cidx * d >= ds_r)
     logits = jnp.where(visible, logits, NEG)
     m_run = m_scr[:]
     m_new = jnp.maximum(m_run, jnp.max(logits, axis=-1, keepdims=True))
@@ -314,11 +396,15 @@ def _select_cmp_kernel(
         # lives in the BlockSpec; dynamic sublane stores are unaligned)
         lane = jax.lax.transpose(lse, (1, 0))                         # [1, rows]
         lse_ref[0, 0, pl.dslice(qt * rows, rows)] = lane[0]
+        ds_t = None
+        if varlen:
+            ds_lane = dstok_ref[0, 0, :].reshape(1, block_q)
+            ds_t = jax.lax.transpose(ds_lane, (1, 0))                 # [Tq,1]
         _scorer_topn(
             acc_slc[:], denom, tpos, o_sel_ref,
             l_sel=l_sel, n_top=n_top, n_forced=n_forced,
             force_init=force_init, force_local=force_local,
-            block_q=block_q, h=h, s_sel=s_sel, h_real=h_real,
+            block_q=block_q, h=h, s_sel=s_sel, h_real=h_real, ds_t=ds_t,
         )
 
 
@@ -342,14 +428,17 @@ def nsa_select_and_cmp_pallas(
     cmp_chunk: int = 512,
     interpret: bool = False,
     h_real: "int | None" = None,
+    seq_start: "jnp.ndarray | None" = None,
 ):
     """Fused selection + compressed attention. Returns
     (sel_idx [B,S,G,max(n_top,n_forced)] i32 (see nsa_select_pallas),
     O_cmp [B,S,G,h,Dv],
-    lse [B*G,1,stats_rows(S,h)] f32 — flat row stats, see flash.stats_rows)."""
+    lse [B*G,1,stats_rows(S,h)] f32 — flat row stats, see flash.stats_rows).
+    seq_start [B,S]: varlen document starts (see nsa_select_pallas)."""
     B, S, G, h, Dk = Q.shape
     Dv = V_cmp.shape[3]
     S_cmp, S_sel = M_csl.shape
+    varlen = seq_start is not None
     block_q = min(block_q, max(S, 8))
     cmp_chunk = min(cmp_chunk, max(S_cmp, 8))
     nq = pl.cdiv(S, block_q)
@@ -369,27 +458,38 @@ def nsa_select_and_cmp_pallas(
         _select_cmp_kernel, scale=scale, l=l, d=d, l_sel=l_sel, n_top=n_top,
         n_forced=n_forced, force_init=force_init, force_local=force_local,
         block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
-        s_cmp=S_cmp, s_sel=S_sel, h_real=h_real,
+        s_cmp=S_cmp, s_sel=S_sel, h_real=h_real, varlen=varlen,
     )
     t0 = _as_t0(pos_offset)
+    in_specs = [
+        pl.BlockSpec((1, block_q, 1, h, Dk),
+                     lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cmp_chunk, Dk),
+                     lambda b, g, qt, c, *_: (b, g, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, cmp_chunk, Dv),
+                     lambda b, g, qt, c, *_: (b, g, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cmp_chunk, S_sel), lambda b, g, qt, c, *_: (c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [t0, Q, K_cmp, V_cmp, M_f]
+    if varlen:
+        ds_row, ds_tok = _scorer_varlen_operands(seq_start, S, block_q, nq, h)
+        in_specs += [
+            pl.BlockSpec((1, 1, rows), lambda b, g, qt, c, *_: (b, 0, qt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, g, qt, c, *_: (b, 0, qt),
+                         memory_space=pltpu.VMEM),
+        ]
+        args += [ds_row, ds_tok]
     sel, O, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, G, nq, n_chunks),
-            in_specs=[
-                pl.BlockSpec((1, block_q, 1, h, Dk),
-                             lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cmp_chunk, Dk),
-                             lambda b, g, qt, c, *_: (b, g, c, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, cmp_chunk, Dv),
-                             lambda b, g, qt, c, *_: (b, g, c, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((cmp_chunk, S_sel), lambda b, g, qt, c, *_: (c, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, block_q, n_out),
                              lambda b, g, qt, c, *_: (b, g, qt, 0),
@@ -414,7 +514,7 @@ def nsa_select_and_cmp_pallas(
             jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32),
         ],
         interpret=interpret,
-    )(t0, Q, K_cmp, V_cmp, M_f)
+    )(*args)
     return sel.transpose(0, 2, 1, 3), O, lse
 
 

@@ -100,6 +100,81 @@ def params_cfg():
     return CFG
 
 
+def test_varlen_fused_scorer_matches_jnp_pipeline():
+    """The fused Pallas scorer kernel under varlen selects the SAME block
+    set as the jnp varlen pipeline (selection_scores_varlen ->
+    select_topn_blocks_varlen), and its fused O_cmp equals
+    compressed_attention_varlen — the doc-visibility contract threaded
+    into ops/pallas/scorer.py."""
+    from nsa_vibe_tpu.ops.attention import fused_select_cmp
+    from nsa_vibe_tpu.ops.block_index import build_block_meta
+    from nsa_vibe_tpu.ops.varlen import (
+        compressed_attention_varlen,
+        select_topn_blocks_varlen,
+        selection_scores_varlen,
+    )
+
+    B, G, h, Dk = 2, 2, 4, 32
+    l, d, l_sel, n_top, S = 8, 4, 16, 4, 128
+    rng = np.random.RandomState(3)
+    Q = jnp.asarray(rng.randn(B, S, G, h, Dk), jnp.float32)
+    ds_np = np.zeros((B, S), np.int32)
+    ds_np[0, 48:] = 48                       # doc boundary at 48 (l_sel-aligned)
+    ds_np[1, 80:] = 80
+    ds = jnp.asarray(ds_np)
+    meta = build_block_meta(S, l, d, l_sel, n_top, 512)
+    S_cmp = meta.S_cmp
+    M = jnp.asarray(meta.M_csl[:S_cmp])
+    K_cmp = jnp.asarray(rng.randn(B, G, S_cmp, Dk), jnp.float32)
+    V_cmp = jnp.asarray(rng.randn(B, G, S_cmp, Dk), jnp.float32)
+    t_pos = jnp.arange(S, dtype=jnp.int32)
+
+    sel_f, O_f = fused_select_cmp(
+        Q, K_cmp, V_cmp, M, scale=0.2, l=l, d=d, l_sel=l_sel, n_top=n_top,
+        force_init=True, force_local=2, seq_start=ds, interpret=True)
+
+    p_grp = selection_scores_varlen(Q, K_cmp, M, 0.2, t_pos, ds, l, d)
+    sel_want = select_topn_blocks_varlen(p_grp, n_top, t_pos, ds, l_sel)
+    O_want = compressed_attention_varlen(Q, K_cmp, V_cmp, t_pos, ds, l, d, 0.2)
+
+    a, b = np.asarray(sel_f), np.asarray(sel_want)
+    for idx in np.ndindex(B, S, G):
+        sa = {int(v) for v in a[idx] if v >= 0}
+        sb = {int(v) for v in b[idx] if v >= 0}
+        assert sa == sb, (idx, sorted(sa), sorted(sb), int(ds_np[idx[0], idx[1]]))
+    assert float(jnp.abs(O_f - O_want).max()) < 1e-5
+
+    # grads through the fused varlen O_cmp match the jnp varlen oracle
+    def loss_f(q, k, v):
+        _, O = fused_select_cmp(q, k, v, M, scale=0.2, l=l, d=d, l_sel=l_sel,
+                                n_top=n_top, force_init=True, force_local=2,
+                                seq_start=ds, interpret=True)
+        return jnp.sum(O.astype(jnp.float32) ** 2)
+
+    def loss_r(q, k, v):
+        return jnp.sum(compressed_attention_varlen(q, k, v, t_pos, ds, l, d, 0.2) ** 2)
+
+    g_f = jax.grad(loss_f, argnums=(0, 1, 2))(Q, K_cmp, V_cmp)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(Q, K_cmp, V_cmp)
+    for x_, y_ in zip(g_f, g_r):
+        assert float(jnp.abs(x_ - y_).max()) < 1e-4
+
+
+def test_varlen_selection_is_doc_local_pallas():
+    """Doc-locality of sel_idx through the FUSED pallas scorer path."""
+    params, x, ds = _setup()
+    cfg = CFG.replace(kernel="pallas")
+    _, aux = jax.jit(lambda p, x, ds: nsa_prefill(p, x, cfg, seq_start=ds)
+                     )(params, x, ds)
+    sel = np.asarray(aux["sel_idx"])
+    ds_np = np.asarray(ds[0])
+    for t in range(S):
+        first = ds_np[t] // CFG.l_sel
+        row = sel[0, t]
+        live = row[row >= 0]
+        assert (live >= first).all() and (live * CFG.l_sel <= t).all(), (t, row)
+
+
 def test_varlen_gradients_pallas_match_reference():
     params, x, ds = _setup()
 
