@@ -22,9 +22,13 @@ Design (idiomatic SPMD pipelining, cf. the public scaling-book recipe):
     psum-broadcast — activations never round-trip to the host;
   * composes with data parallelism (mesh ("dp","pp","sp","tp"), batch
     rows over dp), with FSDP/ZeRO-3 (stage weights sharded over dp,
-    all-gathered inside jit), and with varlen/document-masked batches
-    (seq_start rides with each microbatch through the stage scan).
-    tp/sp do not compose with pp yet and are rejected loudly at setup.
+    all-gathered inside jit), with varlen/document-masked batches
+    (seq_start rides with each microbatch through the stage scan), and
+    with sequence/context parallelism (sp>1: every stage's attention runs
+    sequence-sharded via nsa_attention_cp_local; activations, ppermute
+    transfers and the loss head operate on S/sp slices — the pod
+    long-context configuration). tp does not compose with pp yet and is
+    rejected loudly at setup.
 
 Bubble fraction is (pp-1)/(M+pp-1) for M microbatches per step; M
 defaults to the accumulated batch's natural split (tcfg.pp_microbatches
@@ -41,9 +45,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nsa_vibe_tpu.core.config import ModelConfig
-from nsa_vibe_tpu.models.llama_block import block_prefill, rmsnorm
+from nsa_vibe_tpu.models.llama_block import block_prefill, mlp, rmsnorm
 from nsa_vibe_tpu.models.tinylm import cross_entropy_numden
-from nsa_vibe_tpu.parallel.context import shard_map
+from nsa_vibe_tpu.parallel.context import nsa_attention_cp_local, shard_map
 
 
 def stack_blocks(params: dict) -> dict:
@@ -119,14 +123,19 @@ def pipeline_param_shardings(params_stacked: dict, mesh: Mesh,
 
 def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
                     collect_aux: bool, fsdp_axes=None, seq_start=None,
-                    loss_mask=None):
-    """Runs INSIDE shard_map on every (dp, pp) mesh member.
-    toks: this dp shard's [B_local, S+1] rows (replicated over pp).
+                    loss_mask=None, cp=None):
+    """Runs INSIDE shard_map on every (dp, pp[, sp]) mesh member.
+    toks: this dp shard's [B_local, S+1] rows (replicated over pp and sp).
     seq_start/loss_mask [B_local, S]: varlen document starts + supervised
     mask (ops.varlen) — seq_start rides with each microbatch through the
     stage scan; loss masking happens on the last stage only.
-    Returns (loss, gates [L,B_local,S,G,3] | None, sel [L,B_local,S,G,n] | None);
-    loss is psum'd over pp and num/den-psum'd over dp (identical everywhere)."""
+    cp (pp×sp composition): dict(axis, sp, S_cmp, S_sel, M_csl, impl,
+    interpret) — each stage's attention runs sequence-sharded via
+    nsa_attention_cp_local (K/V all-gathered over sp inside each block);
+    activations, ppermute transfers and the loss head all operate on this
+    shard's S/sp token slice.
+    Returns (loss, gates [L,B_local,S_loc,G,3] | None, sel | None);
+    loss is psum'd over pp (and sp) and num/den-psum'd over dp."""
     cfg = mcfg.nsa
     B, S1 = toks.shape
     S = S1 - 1
@@ -136,7 +145,18 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     varlen = seq_start is not None
 
     inp_tok = toks[:, :-1].reshape(M, Bm, S)
-    x_mb = params["embed"][inp_tok].astype(dtype)          # [M,Bm,S,D]
+    if cp is not None:
+        # embed only this sp shard's token slice; seq_start stays FULL-S
+        # (ϕ-pooling positions span shard boundaries — see
+        # nsa_attention_cp_local)
+        S_loc = S // cp["sp"]
+        t0s = jax.lax.axis_index(cp["axis"]).astype(jnp.int32) * S_loc
+        inp_loc = jax.lax.dynamic_slice_in_dim(inp_tok, t0s, S_loc, axis=2)
+        x_mb = params["embed"][inp_loc].astype(dtype)      # [M,Bm,S_loc,D]
+    else:
+        S_loc = S
+        t0s = None
+        x_mb = params["embed"][inp_tok].astype(dtype)      # [M,Bm,S,D]
     ss_mb = seq_start.reshape(M, Bm, S) if varlen else None
     blocks = params["blocks"]                              # leaves [Lp, ...]
     Lp = blocks["attn_norm"].shape[0]
@@ -150,8 +170,23 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
                 lambda a, ax: a if ax < 0 else jax.lax.all_gather(
                     a, "dp", axis=ax, tiled=True),
                 bp, fsdp_axes)
-        y, aux = block_prefill(bp, x, mcfg, seq_start=ss)
-        y = y.astype(x.dtype)      # residual adds promote; scan carry is fixed
+        if cp is not None:
+            # sequence-sharded pre-norm residual block (mirrors
+            # context.context_parallel_model_forward's run_block)
+            a = nsa_attention_cp_local(
+                bp["attn"], rmsnorm(x, bp["attn_norm"], mcfg.rmsnorm_eps),
+                cfg, cp["axis"], S, cp["S_cmp"], cp["S_sel"], cp["M_csl"],
+                cp["impl"], cp["interpret"], collect_aux=collect_aux,
+                seq_start_full=ss)
+            a, aux = a if collect_aux else (a, None)
+            y = x + a.astype(x.dtype)
+            mlp_fn = jax.checkpoint(mlp) if mcfg.remat == "mlp" else mlp
+            y = (y + mlp_fn(bp["mlp"],
+                            rmsnorm(y, bp["mlp_norm"], mcfg.rmsnorm_eps))
+                 ).astype(x.dtype)
+        else:
+            y, aux = block_prefill(bp, x, mcfg, seq_start=ss)
+            y = y.astype(x.dtype)  # residual adds promote; carry is fixed
         if not collect_aux:
             return y, 0
         return y, {"gates": aux["gates"].astype(jnp.float32),
@@ -165,7 +200,7 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
 
     D = cfg.dim
     G, n = cfg.n_kv_groups, cfg.n_sel
-    state0 = jnp.zeros((Bm, S, D), dtype)
+    state0 = jnp.zeros((Bm, S_loc, D), dtype)
 
     def tick(state, t):
         inp = jnp.where(p == 0, x_mb[jnp.clip(t, 0, M - 1)], state)
@@ -195,18 +230,26 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     # num/den travel separately so the mask-weighted varlen ratio is the
     # GLOBAL ratio even when documents pack unevenly across dp shards.
     labels = toks[:, 1:].reshape(M, Bm, S)
+    if cp is not None:
+        labels = jax.lax.dynamic_slice_in_dim(labels, t0s, S_loc, axis=2)
+        if loss_mask is not None:
+            loss_mask = jax.lax.dynamic_slice_in_dim(
+                loss_mask, t0s, S_loc, axis=1)
 
     def _head_numden(out_buf):
         x = rmsnorm(out_buf, params["final_norm"], mcfg.rmsnorm_eps)
-        logits = x @ params["lm_head"]                      # [M,Bm,S,V]
+        logits = x @ params["lm_head"]                      # [M,Bm,S_loc,V]
         num, den = cross_entropy_numden(
-            logits.reshape(B, S, -1), labels.reshape(B, S), mask=loss_mask)
+            logits.reshape(B, S_loc, -1), labels.reshape(B, S_loc),
+            mask=loss_mask)
         return jnp.stack([num, den])
 
     nd = jax.lax.cond(
         p == pp - 1, _head_numden, lambda _: jnp.zeros((2,), jnp.float32),
         out_buf)
     nd = jax.lax.psum(nd, "pp")
+    if cp is not None:
+        nd = jax.lax.psum(nd, cp["axis"])
     nd = jax.lax.psum(nd, "dp")
     loss = nd[0] / jnp.maximum(nd[1], 1.0)
 
@@ -217,8 +260,8 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     # stacked tick axis recovers its microbatch-ordered aux
     g_buf = jax.lax.dynamic_slice_in_dim(aux_ticks["gates"], p, M, 0)
     s_buf = jax.lax.dynamic_slice_in_dim(aux_ticks["sel_idx"], p, M, 0)
-    gates = g_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S, G, 3)
-    sel = s_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S, G, n)
+    gates = g_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S_loc, G, 3)
+    sel = s_buf.transpose(1, 0, 2, 3, 4, 5).reshape(Lp, B, S_loc, G, n)
     # stage-major layer order == global layer order (stage s holds layers
     # [s*Lp, (s+1)*Lp)), so a tiled gather on the layer axis reassembles L
     gates = jax.lax.all_gather(gates, "pp", axis=0, tiled=True)
@@ -254,9 +297,28 @@ def pipeline_model_loss(
     pp = mesh.shape["pp"]
     if pp <= 1:
         raise ValueError("pipeline_model_loss needs a pp>1 mesh axis")
-    for ax in ("sp", "tp"):
-        if mesh.shape.get(ax, 1) > 1:
-            raise ValueError(f"pp does not compose with {ax}>1 yet")
+    if mesh.shape.get("tp", 1) > 1:
+        raise ValueError("pp does not compose with tp>1 yet")
+    sp = mesh.shape.get("sp", 1)
+    cp = None
+    if sp > 1:
+        # pp×sp: every stage's attention runs sequence-sharded over sp
+        # (the pod long-context configuration — pipeline stages over one
+        # mesh axis, sequence shards over the other)
+        from nsa_vibe_tpu.ops.attention import resolve_kernel
+        from nsa_vibe_tpu.ops.block_index import build_block_meta, num_cmp_blocks
+
+        cfg = mcfg.nsa
+        S = tokens.shape[1] - 1
+        if S % sp != 0 or (S // sp) % cfg.l_sel != 0:
+            raise ValueError(
+                f"S={S} must split into sp={sp} l_sel-aligned shards")
+        meta = build_block_meta(S, cfg.l, cfg.d, cfg.l_sel, cfg.n_sel, cfg.w)
+        S_cmp = int(num_cmp_blocks(S, cfg.l, cfg.d))
+        impl, interpret = resolve_kernel(cfg.kernel, cfg.h_per_group)
+        cp = {"axis": "sp", "sp": sp, "S_cmp": S_cmp, "S_sel": meta.S_sel,
+              "M_csl": jnp.asarray(meta.M_csl[:S_cmp]), "impl": impl,
+              "interpret": interpret}
     L = mcfg.n_layers
     if L % pp != 0:
         raise ValueError(f"n_layers={L} not divisible by pp={pp}")
@@ -274,13 +336,15 @@ def pipeline_model_loss(
     if varlen != (loss_mask is not None):
         raise ValueError("seq_start and loss_mask must be passed together")
 
-    aux_spec = P(None, "dp", None, None, None)
+    sp_ax = "sp" if cp is not None else None
+    aux_spec = P(None, "dp", sp_ax, None, None)
     out_specs = (P(), aux_spec, aux_spec) if collect_aux else (P(), P(), P())
     param_specs = pipeline_param_specs(params_stacked, fsdp_size, fsdp_min)
     if varlen:
         def local_fn(params, toks, ss, lm):
             return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
-                                   fsdp_axes=axes, seq_start=ss, loss_mask=lm)
+                                   fsdp_axes=axes, seq_start=ss, loss_mask=lm,
+                                   cp=cp)
 
         loss, gates, sel = shard_map(
             local_fn, mesh=mesh,
@@ -290,7 +354,7 @@ def pipeline_model_loss(
     else:
         def local_fn(params, toks):
             return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
-                                   fsdp_axes=axes)
+                                   fsdp_axes=axes, cp=cp)
 
         loss, gates, sel = shard_map(
             local_fn, mesh=mesh,

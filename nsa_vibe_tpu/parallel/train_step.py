@@ -60,10 +60,16 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     long-context runs where collapse is most likely).
     """
     optimizer = make_optimizer(tcfg)
-    use_cp = mesh is not None and tcfg.sp > 1
     use_pp = mesh is not None and tcfg.pp > 1
-    if use_pp and (tcfg.sp > 1 or tcfg.tp > 1):
-        raise ValueError("pp composes with dp/fsdp/varlen only (no sp/tp yet)")
+    use_cp = mesh is not None and tcfg.sp > 1 and not use_pp
+    if use_pp and tcfg.tp > 1:
+        raise ValueError("pp composes with dp/fsdp/sp/varlen only (no tp yet)")
+    if mesh is not None:
+        for name, want in (("sp", tcfg.sp), ("pp", tcfg.pp), ("tp", tcfg.tp)):
+            have = mesh.shape.get(name, 1)
+            if want > 1 and have != want:
+                raise ValueError(
+                    f"tcfg.{name}={want} but the mesh's {name} axis is {have}")
 
     collect = tcfg.gate_stats
 

@@ -128,10 +128,16 @@ def test_pp_train_step_matches_dp():
 
 def test_pp_rejects_bad_composition():
     params, _ = _setup()
+    # tcfg/mesh axis mismatch is loud (sp=2 requested, mesh has no sp axis)
     tcfg = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, sp=2)
     mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
-    with pytest.raises(ValueError, match="pp composes"):
+    with pytest.raises(ValueError, match="mesh"):
         build_state_and_step(params, MCFG, tcfg, mesh)
+    # pp x tp is the remaining composition hole and is rejected loudly
+    tcfg_tp = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, tp=2)
+    mesh_tp = make_mesh(dp=1, pp=2, tp=2, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="no tp yet"):
+        build_state_and_step(params, MCFG, tcfg_tp, mesh_tp)
     with pytest.raises(ValueError, match="divisible"):
         pipeline_model_loss(stack_blocks(params),
                             jnp.zeros((4, 65), jnp.int32),
@@ -271,3 +277,92 @@ def test_pp_fsdp_train_step():
     assert abs(float(m_a["loss"]) - float(m_f["loss"])) < 1e-5
     spec = state_f2.params["blocks"]["mlp"]["w_in"].sharding.spec
     assert "dp" in tuple(spec), spec
+
+
+@pytest.mark.parametrize("pp,sp,dp,M", [(2, 2, 1, 2), (2, 2, 2, 2), (2, 4, 1, 2)])
+def test_pp_sp_loss_matches_single_device(pp, sp, dp, M):
+    """pp x sp (pipeline stages x sequence shards — the pod long-context
+    configuration): loss equals the single-device oracle."""
+    params, toks = _setup()
+    mesh = make_mesh(dp=dp, pp=pp, sp=sp, devices=jax.devices()[: dp * pp * sp])
+    ref = float(jax.jit(_ref_loss)(params, toks))
+    got = float(jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=M)[0]
+    )(stack_blocks(params), toks))
+    assert abs(got - ref) < 1e-5, (pp, sp, dp, M, got, ref)
+
+
+def test_pp_sp_gradients_match():
+    params, toks = _setup()
+    mesh = make_mesh(dp=2, pp=2, sp=2, devices=jax.devices()[:8])
+    g_ref = jax.jit(jax.grad(_ref_loss))(params, toks)
+    g_pp = jax.jit(jax.grad(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2)[0]
+    ))(stack_blocks(params), toks)
+    g_pp = unstack_blocks(g_pp, MCFG.n_layers)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves(g_pp),
+    ):
+        mae = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        scale = float(jnp.abs(jnp.asarray(a)).max()) + 1e-8
+        assert mae / scale < 1e-4, (jax.tree_util.keystr(path), mae, scale)
+
+
+def test_pp_sp_train_step_matches_dp():
+    """Integrated pp=2 x sp=2 x dp=2 train step == plain dp=4 train step
+    (loss, gate stats, updated params) — the full composition."""
+    params, _ = _setup()
+    tcfg = TrainConfig(steps=4, batch_size=4, seq_len=64, accum_steps=2,
+                       lr=1e-3, warmup_steps=1, gate_stats=True)
+    toks = jax.random.randint(jax.random.PRNGKey(7), (2, 2, 4, 65),
+                              0, MCFG.vocab_size, jnp.int32)
+
+    mesh_dp = make_mesh(dp=4, devices=jax.devices()[:4])
+    step_dp, state_dp, shard_dp = build_state_and_step(
+        params, MCFG, tcfg, mesh_dp)
+
+    tcfg_ps = dataclasses.replace(tcfg, pp=2, sp=2, dp=2)
+    mesh_ps = make_mesh(dp=2, pp=2, sp=2, devices=jax.devices()[:8])
+    params2 = init_model_params(jax.random.PRNGKey(0), MCFG)
+    step_ps, state_ps, shard_ps = build_state_and_step(
+        params2, MCFG, tcfg_ps, mesh_ps)
+
+    m_dp = m_ps = None
+    for i in range(2):
+        state_dp, m_dp = step_dp(state_dp, jax.device_put(toks[i], shard_dp))
+        state_ps, m_ps = step_ps(state_ps, jax.device_put(toks[i], shard_ps))
+        assert abs(float(m_dp["loss"]) - float(m_ps["loss"])) < 1e-5, i
+        assert bool(m_ps["good"])
+    assert float(m_ps["gate_entropy"]) > 0
+    assert abs(float(m_dp["gate_entropy"]) - float(m_ps["gate_entropy"])) < 1e-5
+    p_dp = jax.tree_util.tree_leaves(state_dp.params)
+    p_ps = jax.tree_util.tree_leaves(
+        unstack_blocks(state_ps.params, MCFG.n_layers))
+    for a, b in zip(p_dp, p_ps):
+        # the two states live on different device sets (4 vs 8) — compare
+        # on host
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 1e-5
+
+
+def test_pp_sp_varlen_loss_matches():
+    """pp x sp x varlen: packed-document loss equals the single-device
+    varlen oracle."""
+    S = 64
+    params, toks = _setup(B=4, S=S)
+    ds_np = np.zeros((4, S), np.int32)
+    ds_np[:, 32:] = 32                      # l_sel-aligned doc boundary
+    ds = jnp.asarray(ds_np)
+    lm = jnp.ones((4, S), jnp.float32)
+
+    def ref_loss(p, t):
+        logits, _ = model_forward(p, t[:, :-1], MCFG, seq_start=ds)
+        return cross_entropy_loss(logits, t[:, 1:], mask=lm)
+
+    mesh = make_mesh(dp=2, pp=2, sp=2, devices=jax.devices()[:8])
+    ref = float(jax.jit(ref_loss)(params, toks))
+    got = float(jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2,
+                                         seq_start=ds, loss_mask=lm)[0]
+    )(stack_blocks(params), toks))
+    assert abs(got - ref) < 1e-5, (got, ref)
