@@ -52,6 +52,41 @@ def build_step(args):
     return step_fn, state, tokens
 
 
+def detail(trace_dir: str, pattern: str, top: int) -> None:
+    """Print the LONGEST individual events whose canonical name matches
+    `pattern` (regex), WITHOUT aggregation and with the full HLO text —
+    the way to attribute anonymous 'fusion'/'multiply_reduce_fusion'
+    buckets from the aggregate view to actual model ops (shapes and
+    operand names live in the event string)."""
+    import re
+
+    from jax.profiler import ProfileData
+
+    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                      recursive=True)
+    if not paths:
+        raise SystemExit(f"no xplane.pb under {trace_dir}")
+    data = ProfileData.from_file(paths[-1])
+    rx = re.compile(pattern)
+    events = []
+    for plane in data.planes:
+        if not ("TPU" in plane.name or "/device:" in plane.name.lower()):
+            continue
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for e in line.events:
+                if e.duration_ns is None:
+                    continue
+                canon = re.sub(r"\.\d+$", "",
+                               e.name.split(" = ")[0].lstrip("%"))
+                if rx.search(canon):
+                    events.append((e.duration_ns / 1e6, e.name))
+    events.sort(reverse=True)
+    for ms, name in events[:top]:
+        print(f"{ms:9.3f} ms  {name[:400]}")
+
+
 def aggregate(trace_dir: str, top: int) -> None:
     from jax.profiler import ProfileData
 
@@ -110,7 +145,20 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--out", default=None,
                     help="trace dir (default: temp dir, deleted after)")
+    ap.add_argument("--aggregate-only", default=None, metavar="TRACE_DIR",
+                    help="re-aggregate an existing trace dir (no TPU run)")
+    ap.add_argument("--detail", default=None, metavar="REGEX",
+                    help="print the longest INDIVIDUAL events matching this "
+                         "canonical-name regex with full HLO text (attributes "
+                         "anonymous fusion buckets to model ops)")
     args = ap.parse_args()
+
+    if args.aggregate_only:
+        if args.detail:
+            detail(args.aggregate_only, args.detail, args.top)
+        else:
+            aggregate(args.aggregate_only, args.top)
+        return
 
     import time
 
@@ -126,7 +174,10 @@ def main() -> None:
     with jax.profiler.trace(trace_dir):
         state, metrics = step_fn(state, tokens)
         _ = float(metrics["loss"])
-    aggregate(trace_dir, args.top)
+    if args.detail:
+        detail(trace_dir, args.detail, args.top)
+    else:
+        aggregate(trace_dir, args.top)
 
 
 if __name__ == "__main__":
