@@ -173,7 +173,18 @@ def nsa_attention_cp_local(
     from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
 
     O_cmp = None
-    if varlen:
+    if impl == "pallas" and scorer_fits_vmem(h, S_sel):
+        # fused pass: selection block ids + the cmp branch output (varlen
+        # doc visibility rides in via seq_start — ds_local entries are
+        # GLOBAL packed doc starts, which is what the kernel's j*d >= ds
+        # bound and first-block clamp expect)
+        sel_idx, O_cmp = attn_ops.fused_select_cmp(
+            Q, K_cmp, V_cmp, M, scale=scale, l=cfg.l, d=cfg.d,
+            l_sel=cfg.l_sel, n_top=cfg.n_sel, force_init=cfg.force_init,
+            force_local=cfg.force_local, t_start=t0, seq_start=ds_local,
+            interpret=interpret,
+        )
+    elif varlen:
         from nsa_vibe_tpu.ops.varlen import (
             select_topn_blocks_varlen,
             selection_scores_varlen,
@@ -184,13 +195,6 @@ def nsa_attention_cp_local(
         sel_idx = select_topn_blocks_varlen(
             p_grp, cfg.n_sel, t_pos, ds_local, cfg.l_sel,
             cfg.force_init, cfg.force_local)
-    elif impl == "pallas" and scorer_fits_vmem(h, S_sel):
-        # fused pass: selection block ids + the cmp branch output
-        sel_idx, O_cmp = attn_ops.fused_select_cmp(
-            Q, K_cmp, V_cmp, M, scale=scale, l=cfg.l, d=cfg.d,
-            l_sel=cfg.l_sel, n_top=cfg.n_sel, force_init=cfg.force_init,
-            force_local=cfg.force_local, t_start=t0, interpret=interpret,
-        )
     else:
         p_grp = selection_scores(Q, K_cmp, M, scale, num_cmp_t)
         sel_idx = select_topn_blocks(
