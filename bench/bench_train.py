@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--dim", type=int, default=768)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--groups", type=int, default=2)
     ap.add_argument("--remat", nargs="?", const=True, default=False,
                 help="full block remat; --remat mlp = MLP-only")
     ap.add_argument("--kernel", default="auto")
@@ -56,7 +59,8 @@ def main() -> None:
     from nsa_vibe_tpu.models.tinylm import init_model_params
     from nsa_vibe_tpu.parallel.train_step import build_state_and_step
 
-    nsa = NSAConfig(dim=768, n_heads=12, n_kv_groups=2, d_k=64, d_v=64,
+    nsa = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,
+                    d_k=64, d_v=64,
                     l=32, d=16, l_sel=64, n_sel=16, w=512, kernel=args.kernel)
     mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=nsa,
                        dtype="bfloat16", remat=args.remat)

@@ -104,6 +104,13 @@ VARIANTS += [
     # lanes vs ~35% axis-aligned) — VERDICT #8's "design, not a flag"
     ("fwd-diag", {"win.fwd_diag": 1}),
     ("fwd-diagq128", {"win.fwd_diag": 1, "win.diag_block_q": 128}),
+    ("fwd-diagq64", {"win.fwd_diag": 1, "win.diag_block_q": 64}),
+    # diagonal win BACKWARD (flash_banded_bwd_diag): q-major exact band
+    # fetch, dQ written once, dK/dV via scatter-added strips — replaces
+    # the kv-major one-pass's ring write-through + dual fastpath body.
+    # Runs on top of the merged fwd-diag tuning.
+    ("bwd-diag", {"win.bwd_diag": 1}),
+    ("bwd-diagq256", {"win.bwd_diag": 1, "win.bwd_diag_block_q": 256}),
 ]
 
 VARIANTS += [

@@ -470,6 +470,17 @@ def flash_banded_bwd_onepass(
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands, stats_rows as _sr
     from nsa_vibe_tpu.ops.tuning import tuned
 
+    if (mode == "win" and w > 0 and Q.shape[1] >= 128
+            and bool(tuned("win.bwd_diag", 0))):
+        # diagonal band tiling (ops/pallas/flash_diag.py): one step per
+        # q-tile, exact band fetch, dK/dV via scatter-added strips
+        from nsa_vibe_tpu.ops.pallas.flash_diag import flash_banded_bwd_diag
+
+        return flash_banded_bwd_diag(
+            Q, K, V, dO, lse, delta, w=w, scale=scale,
+            block_q=int(tuned("win.bwd_diag_block_q", 128)),
+            interpret=interpret, t_start=t_start, seq_start=seq_start,
+            scale_on_q=scale_on_q)
     if scale_on_q is None:
         scale_on_q = bool(tuned("flash.scale_on_q"))
     if fastpath is None:

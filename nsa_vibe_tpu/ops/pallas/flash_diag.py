@@ -35,6 +35,7 @@ from nsa_vibe_tpu.ops.pallas.flash import (
     LOG2E, NEG_INF, _as_t0, _band_select, _q_scale_fold, _varlen_operands,
     stats_rows,
 )
+from nsa_vibe_tpu.ops.pallas.flash_bwd import EMPTY_LSE, _load_stats
 
 DIAG_BK = 128  # band-tile width: the finest lane-aligned granularity
 
@@ -218,3 +219,224 @@ def flash_banded_diag(
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
     )(*call_args)
+
+
+# ------------------------- diagonal backward -------------------------
+
+
+def _diag_bwd_kernel(
+    t0_ref, *refs,
+    w: int, scale: float, block_q: int, h: int, KB: int, s: int, s_kv: int,
+    varlen: bool = False, scale_on_q: bool = True,
+):
+    """Diagonal-tiled one-pass win backward: ONE grid step per q-tile
+    fetches exactly the band (KB 128-wide operands), computes P/dS once,
+    and emits dQ (exact block) + per-q-tile dK/dV band STRIPS. Strips are
+    scatter-added into dK/dV in XLA by the wrapper (strips of successive
+    q-tiles overlap by w lanes — disjoint outputs keep every grid step
+    write-once, so there is no ring scratch, no write-through, and no
+    fastpath dual body; ~86% live lanes vs ~50-60% for the kv-major
+    one-pass at the tuned tiles)."""
+    if varlen:
+        ds_tile_ref, q_ref = refs[0], refs[1]
+        kv_refs = refs[2:2 + 2 * KB]
+        (do_ref, lse_ref, delta_ref, dsrow_ref,
+         dq_ref, dks_ref, dvs_ref) = refs[2 + 2 * KB:]
+    else:
+        ds_tile_ref = dsrow_ref = None
+        q_ref = refs[0]
+        kv_refs = refs[1:1 + 2 * KB]
+        do_ref, lse_ref, delta_ref, dq_ref, dks_ref, dvs_ref = refs[1 + 2 * KB:]
+    k_refs, v_refs = kv_refs[:KB], kv_refs[KB:]
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+
+    t_first = t0_ref[0] + qi * block_q
+    lo_first = jnp.maximum(t_first - w + 1, 0)
+    if varlen:
+        lo_first = jnp.maximum(lo_first, ds_tile_ref[b, 0, qi])
+    kt_lo = lo_first // DIAG_BK
+
+    rows = block_q * h
+    q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
+    Dk = q.shape[2]
+    do = do_ref[0, :, 0]
+    Dv = do.shape[2]
+    full_q = s % block_q == 0
+    lse = _load_stats(lse_ref, qi * rows, rows)
+    delta = _load_stats(delta_ref, qi * rows, rows)
+    if not full_q:
+        # zero OOB q/dO rows and sanitize their stats (garbage rows would
+        # contaminate whole dK/dV strip rows through the matmuls)
+        srow = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        rowv = srow < s
+        q = jnp.where(rowv[:, :, None], q, 0)
+        do = jnp.where(rowv[:, :, None], do, 0)
+        flat = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        rowvf = (qi * block_q + flat // h) < s
+        lse = jnp.where(rowvf, lse, EMPTY_LSE)
+        delta = jnp.where(rowvf, delta, jnp.float32(0.0))
+    qf = q.reshape(rows, Dk)
+    qs, post = _q_scale_fold(qf, scale * LOG2E, scale_on_q)
+    dof = do.reshape(rows, Dv)
+
+    ks = [k_refs[i][0, 0] for i in range(KB)]
+    vs = [v_refs[i][0, 0] for i in range(KB)]
+    if s_kv % DIAG_BK != 0:
+        for i in range(KB):
+            krow = ((kt_lo + i) * DIAG_BK
+                    + jax.lax.broadcasted_iota(jnp.int32, (DIAG_BK, 1), 0))
+            ks[i] = jnp.where(krow < s_kv, ks[i], 0)
+            vs[i] = jnp.where(krow < s_kv, vs[i], 0)
+    k = jnp.concatenate(ks, axis=0)                       # [KBW, Dk]
+    v = jnp.concatenate(vs, axis=0)                       # [KBW, Dv]
+
+    logits = jax.lax.dot_general(
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # [rows, KBW]
+    if post != 1.0:
+        logits = logits * post
+    kpos = kt_lo * DIAG_BK + jax.lax.broadcasted_iota(
+        jnp.int32, (1, KB * DIAG_BK), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    tposf = t_first + rowi // h
+    lo_r = jnp.maximum(tposf - w + 1, 0)
+    if varlen:
+        lane = dsrow_ref[0, 0, :].reshape(1, rows)
+        lo_r = jnp.maximum(lo_r, jax.lax.transpose(lane, (1, 0)))
+    logits = _band_select(logits, lo_r, tposf + 1, kpos)
+    p = jnp.exp2(logits - lse)                            # masked -> exactly 0
+    dvs_ref[0, 0, 0] = jax.lax.dot_general(
+        p.astype(dof.dtype), dof, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dvs_ref.dtype)
+    dpv = jax.lax.dot_general(
+        dof, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = (p * (dpv - delta)).astype(qf.dtype)
+    dks_ref[0, 0, 0] = (scale * jax.lax.dot_general(
+        ds, qf, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)).astype(dks_ref.dtype)
+    dq = scale * jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dq_ref[0, :, 0] = dq.reshape(block_q, h, Dk).astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "scale", "block_q", "interpret", "scale_on_q"),
+)
+def flash_banded_bwd_diag(
+    Q, K, V, dO, lse, delta,
+    *, w: int, scale: float = 1.0, block_q: int = 128,
+    interpret: bool = False, t_start=None, seq_start=None, scale_on_q=None,
+):
+    """Diagonal-tiled win backward (see _diag_bwd_kernel). Same contract
+    as flash_bwd.flash_banded_bwd_onepass(mode="win"): lse/delta in the
+    flat [B*G, 1, stats_rows(S,h)] layout, returns (dQ, dK, dV).
+
+    dK/dV come back via per-q-tile band strips [B, G, nq, KB*128, D]
+    (written once each by the kernel, in K.dtype) scatter-added here in
+    f32 — ≤ KB overlapping bf16-rounded contributions per key, within the
+    kernels' existing bf16 gradient tolerance."""
+    from nsa_vibe_tpu.ops.tuning import tuned
+
+    if scale_on_q is None:
+        scale_on_q = bool(tuned("flash.scale_on_q"))
+    B, S, G, h, Dk = Q.shape
+    S_kv, Dv = K.shape[2], V.shape[3]
+    block_q = min(block_q, max(S, 8))
+    KB = pl.cdiv(block_q - 1 + w, DIAG_BK) + 1
+    nkv = pl.cdiv(S_kv, DIAG_BK)
+    KB = min(KB, nkv)
+    KBW = KB * DIAG_BK
+    nq = pl.cdiv(S, block_q)
+    rows = block_q * h
+    t0 = _as_t0(t_start)
+    varlen = seq_start is not None
+
+    def kv_index(i):
+        def index(b, g, qi, t0_ref, *more):
+            t_first = t0_ref[0] + qi * block_q
+            lo_first = jnp.maximum(t_first - w + 1, 0)
+            if varlen:
+                lo_first = jnp.maximum(lo_first, more[0][b, 0, qi])
+            kt = lo_first // DIAG_BK + i
+            return (b, g, jnp.clip(kt, 0, nkv - 1), 0)
+        return index
+
+    def q_spec(D):
+        return pl.BlockSpec((1, block_q, 1, h, D),
+                            lambda b, g, qi, *_: (b, qi, g, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
+                             lambda b, g, qi, *_: (b * G + g, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        q_spec(Dk),
+        *[pl.BlockSpec((1, 1, DIAG_BK, Dk), kv_index(i),
+                       memory_space=pltpu.VMEM) for i in range(KB)],
+        *[pl.BlockSpec((1, 1, DIAG_BK, Dv), kv_index(i),
+                       memory_space=pltpu.VMEM) for i in range(KB)],
+        q_spec(Dv), stat_spec, stat_spec,
+    ]
+    operands = [t0]
+    if varlen:
+        ds_row, ds_tile = _varlen_operands(seq_start, S, block_q, nq, h)
+        operands.append(ds_tile)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, rows), lambda b, g, qi, *_: (b, 0, qi),
+            memory_space=pltpu.VMEM))
+    strip_spec = pl.BlockSpec((1, 1, 1, KBW, Dk),
+                              lambda b, g, qi, *_: (b, g, qi, 0, 0),
+                              memory_space=pltpu.VMEM)
+    stripv_spec = pl.BlockSpec((1, 1, 1, KBW, Dv),
+                               lambda b, g, qi, *_: (b, g, qi, 0, 0),
+                               memory_space=pltpu.VMEM)
+    call_args = operands + [Q] + [K] * KB + [V] * KB + [dO, lse, delta]
+    if varlen:
+        call_args.append(ds_row)
+    dq, dks, dvs = pl.pallas_call(
+        functools.partial(_diag_bwd_kernel, w=w, scale=scale, block_q=block_q,
+                          h=h, KB=KB, s=S, s_kv=S_kv, varlen=varlen,
+                          scale_on_q=scale_on_q),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2 if varlen else 1,
+            grid=(B, G, nq),
+            in_specs=in_specs,
+            out_specs=[q_spec(Dk), strip_spec, stripv_spec],
+            scratch_shapes=[],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(Q.shape, Q.dtype),
+            jax.ShapeDtypeStruct((B, G, nq, KBW, Dk), K.dtype),
+            jax.ShapeDtypeStruct((B, G, nq, KBW, Dv), V.dtype),
+        ],
+        interpret=interpret,
+    )(*call_args)
+
+    # ---- XLA scatter-add of the band strips into dK/dV (f32 accumulate).
+    # Strip row r of q-tile qt sits at global kv position kt_lo(qt)*128+r;
+    # positions beyond S_kv (clamped duplicate tiles) carry exactly-zero
+    # strips (band-masked) and are dumped into a pad row.
+    qt_ids = jnp.arange(nq, dtype=jnp.int32)
+    t_first = t0[0] + qt_ids * block_q                    # [nq]
+    lo_first = jnp.maximum(t_first - w + 1, 0)
+    if varlen:
+        lo_first = jnp.maximum(lo_first, ds_tile[:, 0, :])  # [B, nq]
+    else:
+        lo_first = jnp.broadcast_to(lo_first, (B, nq))
+    kt_lo = lo_first // DIAG_BK
+    pos = (kt_lo[..., None] * DIAG_BK
+           + jnp.arange(KBW, dtype=jnp.int32))            # [B, nq, KBW]
+    pos = jnp.where(pos < S_kv, pos, S_kv)                # pad row dump
+
+    def scatter_b(strips, pos_b):
+        # strips [G, nq, KBW, D], pos_b [nq, KBW] -> [G, S_kv, D] f32
+        flat = strips.reshape(G, nq * KBW, -1).astype(jnp.float32)
+        out = jnp.zeros((G, S_kv + 1, flat.shape[-1]), jnp.float32)
+        return out.at[:, pos_b.reshape(-1)].add(flat)[:, :S_kv]
+
+    dk = jax.vmap(scatter_b)(dks, pos).astype(K.dtype)
+    dv = jax.vmap(scatter_b)(dvs, pos).astype(V.dtype)
+    return dq, dk, dv

@@ -71,6 +71,12 @@ DEFAULTS = {
     # until e2e-A/B'd on device.
     "win.fwd_diag": 0,
     "win.diag_block_q": 256,
+    # diagonal band tiling for the win BACKWARD: one step per q-tile,
+    # P/dS once, dQ exact block + dK/dV per-q-tile band strips scatter-
+    # added in XLA (no dQ ring write-through, no fastpath dual body).
+    # OFF until e2e-A/B'd on device.
+    "win.bwd_diag": 0,
+    "win.bwd_diag_block_q": 128,
     # fuse the 7 QKV projection matmuls into one (core/nsa.project_qkv):
     # per-column-identical numerics; OFF until e2e-A/B'd on device so the
     # r2-late validation baseline (57.4k @ loss 5.5535) stays bitwise

@@ -145,3 +145,97 @@ def test_bwd_ksplit_matches():
     for a, b in zip(s1, s2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("S,w,bq,t0,S_kv", [
+    (256, 64, 128, 0, 256),
+    (256, 512, 128, 0, 256),      # w > S: band covers the whole prefix
+    (256, 64, 128, 512, 768),     # chunked offset (t_start)
+    (250, 64, 128, 0, 250),       # ragged S / S_kv (OOB sanitizing path)
+])
+def test_diag_bwd_matches_onepass(S, w, bq, t0, S_kv):
+    """Diagonal backward == kv-major one-pass backward (dQ, dK, dV)."""
+    from nsa_vibe_tpu.ops.pallas.flash import stats_rows
+    from nsa_vibe_tpu.ops.pallas.flash_bwd import flash_banded_bwd_onepass
+    from nsa_vibe_tpu.ops.pallas.flash_diag import flash_banded_bwd_diag
+
+    B, G, h, Dk, Dv = 2, 2, 6, 64, 64
+    Q, K, V = _mk(B, S, G, h, Dk, Dv, S_kv, seed=13)
+    rng = np.random.default_rng(17)
+    dO = jnp.asarray(rng.normal(size=(B, S, G, h, Dv)), jnp.float32)
+    scale = Dk ** -0.5
+    O, lse = flash_banded(Q, K, V, mode="win", w=w, scale=scale,
+                          return_lse=True, interpret=True, t_start=t0,
+                          fastpath=False)
+    delta = jnp.sum(dO * O, axis=-1).transpose(0, 2, 1, 3).reshape(B * G, 1, S * h)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, stats_rows(S, h) - S * h)))
+    r1 = flash_banded_bwd_onepass(Q, K, V, dO, lse, delta, mode="win", w=w,
+                                  scale=scale, block_q=128, block_k=256,
+                                  interpret=True, t_start=t0, fastpath=False,
+                                  ksplit=1)
+    r2 = flash_banded_bwd_diag(Q, K, V, dO, lse, delta, w=w, scale=scale,
+                               block_q=bq, interpret=True, t_start=t0)
+    for name, a, b in zip(("dQ", "dK", "dV"), r1, r2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5, err_msg=name)
+
+
+def test_diag_bwd_varlen_matches_onepass():
+    from nsa_vibe_tpu.ops.pallas.flash import stats_rows
+    from nsa_vibe_tpu.ops.pallas.flash_bwd import flash_banded_bwd_onepass
+    from nsa_vibe_tpu.ops.pallas.flash_diag import flash_banded_bwd_diag
+
+    B, S, G, h, Dk, Dv, w = 2, 256, 2, 4, 64, 64, 64
+    Q, K, V = _mk(B, S, G, h, Dk, Dv, S, seed=21)
+    rng = np.random.default_rng(23)
+    dO = jnp.asarray(rng.normal(size=(B, S, G, h, Dv)), jnp.float32)
+    starts = np.zeros((B, S), np.int32)
+    starts[0, 128:] = 128
+    starts[1, 64:] = 64
+    ds = jnp.asarray(starts)
+    scale = Dk ** -0.5
+    O, lse = flash_banded(Q, K, V, mode="win", w=w, scale=scale,
+                          return_lse=True, interpret=True, seq_start=ds,
+                          fastpath=False)
+    delta = jnp.sum(dO * O, axis=-1).transpose(0, 2, 1, 3).reshape(B * G, 1, S * h)
+    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, stats_rows(S, h) - S * h)))
+    r1 = flash_banded_bwd_onepass(Q, K, V, dO, lse, delta, mode="win", w=w,
+                                  scale=scale, block_q=128, block_k=256,
+                                  interpret=True, seq_start=ds,
+                                  fastpath=False, ksplit=1)
+    r2 = flash_banded_bwd_diag(Q, K, V, dO, lse, delta, w=w, scale=scale,
+                               block_q=128, interpret=True, seq_start=ds)
+    for name, a, b in zip(("dQ", "dK", "dV"), r1, r2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=3e-5, err_msg=name)
+
+
+def test_bwd_diag_flag_gradcheck(monkeypatch):
+    """With win.bwd_diag forced on, the win branch custom_vjp gradients
+    must match the reference."""
+    from nsa_vibe_tpu.ops import reference as ref
+    from nsa_vibe_tpu.ops import tuning
+    from nsa_vibe_tpu.ops.attention import sliding_window_attention
+
+    base = dict(tuning._load())
+    base["win.bwd_diag"] = 1
+    base["win.bwd_diag_block_q"] = 128
+    monkeypatch.setattr(tuning, "_load", lambda: base)
+
+    B, S, G, h, Dk, Dv, w = 1, 256, 1, 2, 64, 64, 64
+    Q, K, V = _mk(B, S, G, h, Dk, Dv, S, seed=5)
+    t_pos = jnp.arange(S, dtype=jnp.int32)
+    scale = Dk ** -0.5
+
+    def f_pallas(q, k, v):
+        return (sliding_window_attention(q, k, v, t_pos, w, scale,
+                                         kernel="pallas") ** 2).sum()
+
+    def f_ref(q, k, v):
+        return (ref.sliding_window_attention(q, k, v, t_pos, w, scale) ** 2).sum()
+
+    g1 = jax.grad(f_pallas, argnums=(0, 1, 2))(Q, K, V)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(Q, K, V)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4)
