@@ -81,20 +81,13 @@ VARIANTS += [
 # REMOVED (see KERNELS.md dead ends). sel-bwdq64 measured 60.15k vs
 # 60.08k — noise-level, default stays 128. The static OOB-zeroing skips
 # landed unconditionally (+0.9% e2e, bit-identical).
-# r4 VMEM-engineering sweep (VERDICT #2): ksplit sub-tiles the one-pass
-# backward kernel bodies so the [rows, block_k] f32 intermediates shrink
-# by the factor — 256-row backward q-tiles now compile (the r3 OOMs were
-# 19.04M/16M win and 21.86M/16M sel at ksplit=1). ksplit at bq=128 is the
-# isolating control (does sub-tiling itself cost anything?); the q256
-# variants are the prize.
+# r4 VMEM-engineering sweep (VERDICT #2) OUTCOME: ksplit sub-tiling of
+# the one-pass backward bodies was measured and REMOVED — bq256+ks2
+# still OOM'd (20.2M win / 22.8M sel: Mosaic keeps unrolled
+# sub-iterations' temporaries live) and the ks2-ctl isolating control
+# cost −7% (55.8k vs 59.9k). artifacts/published/ab_queue_r4.jsonl;
+# KERNELS.md dead ends. The variants were deleted with the code.
 VARIANTS += [
-    ("ks2-ctl", {"flash.bwd_ksplit": 2, "sel.bwd_ksplit": 2}),
-    ("bwd-oneq256ks2", {"win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
-                        "flash.bwd_ksplit": 2}),
-    ("sel-bwdq256ks2", {"sel.bwd_block_q": 256, "sel.bwd_ksplit": 2}),
-    ("allq256ks2", {"win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
-                    "sel.bwd_block_q": 256,
-                    "flash.bwd_ksplit": 2, "sel.bwd_ksplit": 2}),
     # isolating pair for VERDICT #10: bwd fastpath on (default) vs off at
     # current tiles — settles whether the -0.4%/noise r2 measurement
     # justifies the ON default

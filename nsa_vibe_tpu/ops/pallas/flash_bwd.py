@@ -253,7 +253,7 @@ def _dkv_kernel(
 def _onepass_bwd_kernel(
     t0_ref, *refs,
     mode, w, l, d, scale, block_q, block_k, h, nq_grid, nq_total, s, s_kv,
-    varlen=False, scale_on_q=True, fastpath=True, ksplit=1,
+    varlen=False, scale_on_q=True, fastpath=True,
 ):
     """ONE-pass flash backward: kv-major grid (b, g, ki, qt). P/dS are
     computed ONCE per (kv-tile, q-tile) pair and feed all three products
@@ -268,14 +268,10 @@ def _onepass_bwd_kernel(
                                last contribution; earlier partial stores
                                are benignly overwritten)
 
-    `ksplit`: lane sub-tiling of the VMEM-dominant intermediates. The
-    math per (row, key) lane is separable across keys given lse/delta, so
-    the body runs over block_k//ksplit-wide key sub-ranges of the (single,
-    full-width) DMA'd K/V block — the ~5 live [rows, block_k] f32 buffers
-    (logits, p, dpv, ds, + mask temps) shrink by ksplit while DMA width,
-    grid shape and per-step count stay identical. This is what lets
-    256-row q-tiles compile inside 16 MB VMEM (the r3 A/B log shows
-    bq=256 @ bk=512 missing by 3.04M at ksplit=1)."""
+    (`ksplit` lane sub-tiling of the body was tried and REMOVED in r4 —
+    Mosaic allocates the unrolled sub-iterations' temporaries
+    simultaneously, so it never reduced peak VMEM, and the isolating
+    control cost −7% e2e; see docs/KERNELS.md dead ends.)"""
     if varlen:
         (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
          dsrow_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
@@ -316,51 +312,43 @@ def _onepass_bwd_kernel(
     def _compute():
         t_first = t0 + qt * block_q
         t_last = t_first + block_q - 1
-        W = block_k // ksplit
 
         def _body(qf, qs, post, dof, lse, delta, *, sanitize_kv, bounds_rows):
-            """P/dS once per tile pair -> dV/dK scratch accum + dQ slot.
-            Loops W-wide key sub-ranges (ksplit): each sub-range's
-            [rows, W] intermediates are consumed into the dV/dK scratch
-            slices + the dQ contribution and die before the next one."""
-            total = None
-            for u in range(ksplit):
-                ks = pl.dslice(u * W, W)
-                k_u = k_ref[0, 0, ks]
-                v_u = v_ref[0, 0, ks]
-                if sanitize_kv:
-                    krow = (k0 + u * W
-                            + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0))
-                    k_u = jnp.where(krow < s_kv, k_u, 0)
-                    v_u = jnp.where(krow < s_kv, v_u, 0)
-                logits = jax.lax.dot_general(
-                    qs, k_u, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                if post != 1.0:
-                    logits = logits * post
-                if bounds_rows is not None:
-                    lo_r, hi_r = bounds_rows
-                    kpos = (k0 + u * W
-                            + jax.lax.broadcasted_iota(jnp.int32, (1, W), 1))
-                    logits = _band_select(logits, lo_r, hi_r, kpos)
-                p = jnp.exp2(logits - lse)                 # [rows, W]
-                dv_scr[ks, :] += jax.lax.dot_general(
-                    p.astype(dof.dtype), dof, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                dpv = jax.lax.dot_general(
-                    dof, v_u, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                ds = (p * (dpv - delta)).astype(qf.dtype)
-                dk_scr[ks, :] += scale * jax.lax.dot_general(
-                    ds, qf, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                c = jax.lax.dot_general(
-                    ds, k_u, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                total = c if total is None else total + c
+            """P/dS once per tile pair -> dV/dK scratch accum + dQ slot."""
+            k = k_ref[0, 0]
+            v = v_ref[0, 0]
+            if sanitize_kv:
+                krow = k0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_k, 1), 0)
+                k = jnp.where(krow < s_kv, k, 0)
+                v = jnp.where(krow < s_kv, v, 0)
+            logits = jax.lax.dot_general(
+                qs, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if post != 1.0:
+                logits = logits * post
+            if bounds_rows is not None:
+                lo_r, hi_r = bounds_rows
+                kpos = k0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, block_k), 1)
+                logits = _band_select(logits, lo_r, hi_r, kpos)
+            p = jnp.exp2(logits - lse)                     # [rows, Tk]
+            dv_scr[:] += jax.lax.dot_general(
+                p.astype(dof.dtype), dof, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dpv = jax.lax.dot_general(
+                dof, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dpv - delta)).astype(qf.dtype)
+            dk_scr[:] += scale * jax.lax.dot_general(
+                ds, qf, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            contrib = scale * jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
             slot = pl.dslice(slot0, rows)
             prev = jnp.where(first_visit, 0.0, dq_scr[slot, :])
-            dq_scr[slot, :] = prev + scale * total
+            dq_scr[slot, :] = prev + contrib
 
         def _slow():
             q = q_ref[0, :, 0]                            # [Tq, h, Dk]
@@ -448,13 +436,13 @@ def _onepass_bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
-                     "interpret", "scale_on_q", "fastpath", "ksplit"),
+                     "interpret", "scale_on_q", "fastpath"),
 )
 def flash_banded_bwd_onepass(
     Q, K, V, dO, lse, delta,
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=512,
     interpret=False, t_start=None, seq_start=None,
-    scale_on_q=None, fastpath=None, ksplit=None,
+    scale_on_q=None, fastpath=None,
 ):
     """One-pass backward (see _onepass_bwd_kernel). Same contract as
     flash_banded_bwd. The dq scratch is [nslots*rows, Dk] f32 — sequences
@@ -485,16 +473,14 @@ def flash_banded_bwd_onepass(
         scale_on_q = bool(tuned("flash.scale_on_q"))
     if fastpath is None:
         fastpath = bool(tuned("flash.fastpath"))
-    if ksplit is None:
-        ksplit = int(tuned("flash.bwd_ksplit", 1))
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     # VMEM guard (mirrors flash_banded's): the fastpath branch keeps both
-    # bodies' [rows, block_k//ksplit] f32 intermediates live — at 256-row
-    # q tiles with bk=512 (ksplit=1) that alone is ~12 MB and
+    # bodies' [rows, block_k] f32 intermediates live — at 256-row
+    # q tiles with bk=512 that alone is ~12 MB and
     # compile-OOMs. Drop the flag instead of failing so tile sweeps stay
     # runnable.
-    if fastpath and 2 * block_q * h * (block_k // ksplit) * 4 > 6 * 2**20:
+    if fastpath and 2 * block_q * h * block_k * 4 > 6 * 2**20:
         fastpath = False
 
     q_chunk = 2048
@@ -512,7 +498,7 @@ def flash_banded_bwd_onepass(
                 block_k=block_k, interpret=interpret,
                 t_start=t0_base + i * q_chunk,
                 seq_start=None if seq_start is None else seq_start[:, sl],
-                scale_on_q=scale_on_q, fastpath=fastpath, ksplit=ksplit,
+                scale_on_q=scale_on_q, fastpath=fastpath,
             )
             dqs.append(dq_i)
             dk_total = dk_total + dk_i.astype(jnp.float32)
@@ -521,10 +507,6 @@ def flash_banded_bwd_onepass(
                 dv_total.astype(V.dtype))
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(S_kv, 8))
-    # sub-tile width must split evenly and stay 128-lane-aligned (checked
-    # AFTER the block_k clamp — a clamped-odd tile must not be split)
-    if ksplit < 1 or block_k % ksplit or (block_k // ksplit) % 128:
-        ksplit = 1
     nq = pl.cdiv(S, block_q)
     nk_total = pl.cdiv(S_kv, block_k)
     t0 = _as_t0(t_start)
@@ -588,7 +570,7 @@ def flash_banded_bwd_onepass(
                           scale=scale, block_q=block_q, block_k=block_k, h=h,
                           nq_grid=nq_inner, nq_total=nq, s=S, s_kv=S_kv,
                           varlen=varlen, scale_on_q=scale_on_q,
-                          fastpath=fastpath, ksplit=ksplit),
+                          fastpath=fastpath),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nk_total, nq_inner),

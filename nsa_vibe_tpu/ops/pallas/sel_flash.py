@@ -632,16 +632,14 @@ def selection_flash_bwd(
     return dq, dk, dv
 
 
-def _onepass_vmem_est(block_q, h, KB, l_sel, nq, Dk, Dv, ksplit=1) -> int:
+def _onepass_vmem_est(block_q, h, KB, l_sel, nq, Dk, Dv) -> int:
     """Rough VMEM bytes for the one-pass sel backward's dominant buffers:
-    dq/dk/dv scratch + ~5 live [rows, KB*l_sel/ksplit] f32 intermediates
+    dq/dk/dv scratch + ~5 live [rows, KB*l_sel] f32 intermediates
     through the matmul chain (logits, maskf, p, dpv, ds). Calibrated
-    against the measured Mosaic OOM at bq=256/ksplit=1 (21.86M > 16M,
-    v5e). `ksplit` sub-tiles the kv lanes inside the kernel body (the
-    intermediates shrink by ksplit; DMA width and grid are unchanged)."""
+    against the measured Mosaic OOM at bq=256 (21.86M > 16M, v5e)."""
     rows = block_q * h
     scr = (nq * rows * Dk + KB * l_sel * (Dk + Dv)) * 4
-    inter = 5 * rows * (KB * l_sel // ksplit) * 4
+    inter = 5 * rows * KB * l_sel * 4
     return scr + inter
 
 
@@ -651,7 +649,7 @@ def _onepass_vmem_est(block_q, h, KB, l_sel, nq, Dk, Dv, ksplit=1) -> int:
 def _sel_onepass_bwd_kernel(
     orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref,
     lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
-    *, l_sel, scale, block_q, h, NQ, KB, s_kv, s, kv_full, ksplit=1,
+    *, l_sel, scale, block_q, h, NQ, KB, s_kv, s, kv_full,
 ):
     """kv-major ONE-pass backward: P/dS computed once per
     (kv-tile-group, q-tile) pair feed dV/dK (resident scratch) AND dQ
@@ -659,12 +657,10 @@ def _sel_onepass_bwd_kernel(
     QK+mask+exp recompute of the separate dq+dkv kernels (cf.
     flash_bwd._onepass_bwd_kernel).
 
-    `ksplit` sub-groups the KB fetched selection blocks into
-    KB//ksplit-block key sub-ranges processed sequentially: the ~5 live
-    [rows, KB*l_sel] f32 intermediates shrink by ksplit (per-sub-range
-    buffers die before the next), while the DMA block and grid shape are
-    untouched — the lever that lets 256-row q-tiles compile inside VMEM
-    (measured 21.86M > 16M at bq256/ksplit=1, r3 A/B log)."""
+    (`ksplit` sub-grouping of the KB blocks was tried and REMOVED in r4:
+    Mosaic allocates the unrolled sub-iterations' temporaries
+    simultaneously, so it never reduced peak VMEM, and the flash control
+    cost −7% e2e — docs/KERNELS.md dead ends.)"""
     b = pl.program_id(0)
     g = pl.program_id(1)
     jg = pl.program_id(2)
@@ -707,49 +703,42 @@ def _sel_onepass_bwd_kernel(
         delta_raw = _load_stats(delta_ref, qt * rows, rows)
         delta = delta_raw if full_q else jnp.where(rowvf, delta_raw,
                                                    jnp.float32(0.0))
-        KBs = KB // ksplit
-        W = KBs * l_sel
-        total = None
-        for u in range(ksplit):
-            lanes = pl.dslice(u * W, W)
-            k_u = k_ref[0, 0, lanes]
-            v_u = v_ref[0, 0, lanes]
-            if not kv_full:
-                krow = (jg * KB * l_sel + u * W
-                        + jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0))
-                k_u = jnp.where(krow < s_kv, k_u, 0)
-                v_u = jnp.where(krow < s_kv, v_u, 0)
-            logits = jax.lax.dot_general(
-                qs, k_u, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            if post != 1.0:
-                logits = logits * post
-            subs = []
-            for i in range(KBs):
-                blk_i = jg * KB + u * KBs + i
-                member = jnp.any(sel_q == blk_i, axis=-1)
-                kpos = blk_i * l_sel + kiota
-                subs.append((member[:, None] & (kpos <= tpos)).astype(jnp.float32))
-            maskf = jnp.concatenate(subs, axis=-1)
-            maskf = jnp.broadcast_to(
-                maskf[:, None, :], (block_q, h, W)).reshape(rows, W)
-            logits = logits + (maskf - 1.0) * 1e30
-            p = jnp.exp2(logits - lse)
-            dv_scr[lanes, :] += jax.lax.dot_general(
-                p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dpv = jax.lax.dot_general(
-                dof, v_u, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            ds = (p * (dpv - delta)).astype(q.dtype)
-            dk_scr[lanes, :] += scale * jax.lax.dot_general(
-                ds, qf, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            c = jax.lax.dot_general(
-                ds, k_u, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            total = c if total is None else total + c
-        dq_scr[pl.dslice(qt * rows, rows), :] += scale * total
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        if not kv_full:
+            krow = (jg * KB * l_sel
+                    + jax.lax.broadcasted_iota(jnp.int32, (KB * l_sel, 1), 0))
+            k = jnp.where(krow < s_kv, k, 0)
+            v = jnp.where(krow < s_kv, v, 0)
+        logits = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if post != 1.0:
+            logits = logits * post
+        subs = []
+        for i in range(KB):
+            blk_i = jg * KB + i
+            member = jnp.any(sel_q == blk_i, axis=-1)
+            kpos = blk_i * l_sel + kiota
+            subs.append((member[:, None] & (kpos <= tpos)).astype(jnp.float32))
+        maskf = jnp.concatenate(subs, axis=-1)
+        maskf = jnp.broadcast_to(
+            maskf[:, None, :], (block_q, h, KB * l_sel)).reshape(rows, KB * l_sel)
+        logits = logits + (maskf - 1.0) * 1e30
+        p = jnp.exp2(logits - lse)
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), dof, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dpv = jax.lax.dot_general(
+            dof, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dpv - delta)).astype(q.dtype)
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds, qf, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_scr[pl.dslice(qt * rows, rows), :] += scale * jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     # write-through the current q-tile's dq slot (final store lands after
     # its last contribution; every q-tile is active in >= 1 kv group)
@@ -766,12 +755,12 @@ def _sel_onepass_bwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("l_sel", "scale", "block_q", "kv_batch", "interpret",
-                     "q_chunk", "ksplit"),
+                     "q_chunk"),
 )
 def selection_flash_bwd_onepass(
     Q, K, V, sel_idx, dO, lse, delta,
     *, l_sel, scale, pos_offset=0, block_q=128, kv_batch=8, interpret=False,
-    q_chunk=2048, ksplit=None,
+    q_chunk=2048,
 ):
     """One-pass variant of selection_flash_bwd (same contract). The dq
     scratch holds ALL q-tiles of a chunk ([S*h, Dk] f32), so the default
@@ -781,8 +770,6 @@ def selection_flash_bwd_onepass(
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     n = sel_idx.shape[-1]
-    if ksplit is None:
-        ksplit = int(tuned("sel.bwd_ksplit", 1))
 
     if S > q_chunk and S % q_chunk == 0:
         nchunk = S // q_chunk
@@ -797,7 +784,7 @@ def selection_flash_bwd_onepass(
                 lse[:, :, slh], delta[:, :, slh],
                 l_sel=l_sel, scale=scale, pos_offset=pos_offset + i * q_chunk,
                 block_q=block_q, kv_batch=kv_batch, interpret=interpret,
-                q_chunk=q_chunk, ksplit=ksplit,
+                q_chunk=q_chunk,
             )
             dqs.append(dq_i)
             dk_total = dk_total + dk_i.astype(jnp.float32)
@@ -808,14 +795,11 @@ def selection_flash_bwd_onepass(
     block_q = min(block_q, max(S, 8))
     J = pl.cdiv(S_kv, l_sel)
     KB = max(1, min(kv_batch, J))
-    # sub-range lanes must stay 128-aligned and KB must split evenly
-    if ksplit < 1 or KB % ksplit or (KB // ksplit * l_sel) % 128:
-        ksplit = 1
     # degrade oversized tiles instead of compile-OOMing (tile sweeps stay
     # runnable; mirrors flash_banded's fastpath VMEM guard)
     while block_q > 128 and _onepass_vmem_est(
-            block_q, h, KB, l_sel, pl.cdiv(S, block_q), Dk, Dv,
-            ksplit) > 14 * 2**20:
+            block_q, h, KB, l_sel, pl.cdiv(S, block_q), Dk,
+            Dv) > 14 * 2**20:
         block_q //= 2
     nq = pl.cdiv(S, block_q)
     Jg = pl.cdiv(J, KB)
@@ -849,7 +833,7 @@ def selection_flash_bwd_onepass(
     dq, dk, dv = pl.pallas_call(
         functools.partial(_sel_onepass_bwd_kernel, l_sel=l_sel, scale=scale,
                           block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv, s=S,
-                          kv_full=KV_pad == S_kv, ksplit=ksplit),
+                          kv_full=KV_pad == S_kv),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, G, Jg, nq),

@@ -57,13 +57,9 @@ DEFAULTS = {
     "flash.scale_on_q": 1,
     "flash.fastpath": 1,        # backward (one-pass) kernels
     "flash.fastpath_fwd": 0,    # forward flash_banded
-    # lane sub-tiling of the one-pass backward kernel bodies (flash_bwd /
-    # sel_flash `ksplit`): the ~5 live [rows, block_k] f32 intermediates
-    # shrink by the factor (DMA width and grid unchanged), which is what
-    # lets 256-row backward q-tiles compile inside 16 MB VMEM (r3 A/B
-    # log: bq256 missed by 3.04M win / 5.86M sel at ksplit=1). 1 = off.
-    "flash.bwd_ksplit": 1,
-    "sel.bwd_ksplit": 1,
+    # (flash.bwd_ksplit / sel.bwd_ksplit were tried and REMOVED in r4 —
+    # Mosaic keeps unrolled sub-iterations' temporaries live so peak VMEM
+    # never dropped, and the control cost −7% e2e; KERNELS.md dead ends.)
     # diagonal band tiling for the win FORWARD (ops/pallas/flash_diag.py):
     # one grid step per q-tile fetching exactly the band as 128-wide
     # operands, single-pass softmax. Attacks the measured ~35%-live-lane

@@ -98,55 +98,6 @@ def test_diag_flag_gradcheck(monkeypatch):
                                    atol=5e-4, rtol=5e-4)
 
 
-def test_bwd_ksplit_matches():
-    """ksplit sub-tiling of the one-pass backwards is numerically
-    equivalent (accumulation-order ulp differences only: the dQ
-    contribution becomes a sum of sub-width matmuls)."""
-    from nsa_vibe_tpu.ops.pallas.flash import stats_rows
-    from nsa_vibe_tpu.ops.pallas.flash_bwd import flash_banded_bwd_onepass
-    from nsa_vibe_tpu.ops.pallas.sel_flash import (
-        selection_flash_bwd_onepass, selection_flash_pallas)
-
-    B, S, G, h, Dk, Dv, w = 1, 256, 2, 6, 64, 64, 64
-    Q, K, V = _mk(B, S, G, h, Dk, Dv, S, seed=9)
-    rng = np.random.default_rng(11)
-    dO = jnp.asarray(rng.normal(size=(B, S, G, h, Dv)), jnp.float32)
-    scale = Dk ** -0.5
-    O, lse = flash_banded(Q, K, V, mode="win", w=w, scale=scale,
-                          return_lse=True, interpret=True)
-    delta = jnp.sum(dO * O, axis=-1).transpose(0, 2, 1, 3).reshape(B * G, 1, S * h)
-    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, stats_rows(S, h) - S * h)))
-    r1 = flash_banded_bwd_onepass(Q, K, V, dO, lse, delta, mode="win", w=w,
-                                  scale=scale, block_q=64, block_k=256,
-                                  interpret=True, ksplit=1)
-    r2 = flash_banded_bwd_onepass(Q, K, V, dO, lse, delta, mode="win", w=w,
-                                  scale=scale, block_q=64, block_k=256,
-                                  interpret=True, ksplit=2)
-    for a, b in zip(r1, r2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=2e-5)
-
-    n, l_sel = 4, 64
-    J = S // l_sel
-    sel = jnp.argsort(
-        jnp.asarray(rng.normal(size=(B, S, G, J))), axis=-1
-    )[..., :n].astype(jnp.int32).at[..., 0].set(0)
-    O, lse = selection_flash_pallas(Q, K, V, sel, l_sel=l_sel, scale=scale,
-                                    return_lse=True, interpret=True,
-                                    kv_batch=4)
-    delta = jnp.sum(dO * O, axis=-1).transpose(0, 2, 1, 3).reshape(B * G, 1, S * h)
-    delta = jnp.pad(delta, ((0, 0), (0, 0), (0, stats_rows(S, h) - S * h)))
-    s1 = selection_flash_bwd_onepass(Q, K, V, sel, dO, lse, delta,
-                                     l_sel=l_sel, scale=scale, block_q=64,
-                                     kv_batch=4, interpret=True, ksplit=1)
-    s2 = selection_flash_bwd_onepass(Q, K, V, sel, dO, lse, delta,
-                                     l_sel=l_sel, scale=scale, block_q=64,
-                                     kv_batch=4, interpret=True, ksplit=2)
-    for a, b in zip(s1, s2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-5, rtol=2e-5)
-
-
 @pytest.mark.parametrize("S,w,bq,t0,S_kv", [
     (256, 64, 128, 0, 256),
     (256, 512, 128, 0, 256),      # w > S: band covers the whole prefix
@@ -171,8 +122,7 @@ def test_diag_bwd_matches_onepass(S, w, bq, t0, S_kv):
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, stats_rows(S, h) - S * h)))
     r1 = flash_banded_bwd_onepass(Q, K, V, dO, lse, delta, mode="win", w=w,
                                   scale=scale, block_q=128, block_k=256,
-                                  interpret=True, t_start=t0, fastpath=False,
-                                  ksplit=1)
+                                  interpret=True, t_start=t0, fastpath=False)
     r2 = flash_banded_bwd_diag(Q, K, V, dO, lse, delta, w=w, scale=scale,
                                block_q=bq, interpret=True, t_start=t0)
     for name, a, b in zip(("dQ", "dK", "dV"), r1, r2):
@@ -202,7 +152,7 @@ def test_diag_bwd_varlen_matches_onepass():
     r1 = flash_banded_bwd_onepass(Q, K, V, dO, lse, delta, mode="win", w=w,
                                   scale=scale, block_q=128, block_k=256,
                                   interpret=True, seq_start=ds,
-                                  fastpath=False, ksplit=1)
+                                  fastpath=False)
     r2 = flash_banded_bwd_diag(Q, K, V, dO, lse, delta, w=w, scale=scale,
                                block_q=128, interpret=True, seq_start=ds)
     for name, a, b in zip(("dQ", "dK", "dV"), r1, r2):
