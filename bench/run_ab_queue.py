@@ -137,8 +137,12 @@ def run_variant(name: str, overrides: dict, args) -> dict:
     if args.chained:
         cmd += ["--chained"]
     t0 = time.time()
-    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                         timeout=args.timeout)
+    try:
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             timeout=args.timeout)
+    except subprocess.TimeoutExpired:
+        return {"variant": name, "error": f"timeout after {args.timeout}s",
+                "wall_s": round(time.time() - t0, 1)}
     wall = time.time() - t0
     line = next((ln for ln in reversed(out.stdout.splitlines())
                  if ln.startswith("{")), None)
