@@ -120,6 +120,11 @@ VARIANTS += [
     # bq128 (12.7 MB < 14); KB=12 would degrade block_q to 64 (two
     # confounded changes), so it is not queued
     ("sel-bwdkb10", {"sel.bwd_kv_batch": 10}),
+    # sel fwd kv_batch at the merged bq=128 (r4): rows=768, so KB=12/16
+    # f32 logits are 2.25/3 MB — both fit, and wider steps amortize the
+    # per-step DMA setup that bq=128 doubled
+    ("sel-kb12-q128", {"sel.kv_batch": 12}),
+    ("sel-kb16-q128", {"sel.kv_batch": 16}),
 ]
 
 
