@@ -125,6 +125,11 @@ VARIANTS += [
     # per-step DMA setup that bq=128 doubled
     ("sel-kb12-q128", {"sel.kv_batch": 12}),
     ("sel-kb16-q128", {"sel.kv_batch": 16}),
+    # flat [B,S,G,h*Dv] gate combine: removes the (6,64)->(8,128) HBM
+    # tile padding the combine fusions pay (r4 profile: ~19 ms/step of
+    # broadcast_multiply/add_add at padded-bandwidth peak). Fwd
+    # bit-exact; grads last-ulp (gate-grad reduction order).
+    ("flat-combine", {"nsa.flat_combine": 1}),
 ]
 
 

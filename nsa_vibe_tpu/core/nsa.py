@@ -116,10 +116,24 @@ def combine_branches(
         params["gate"], q_pooled, cfg.gate_temp,
         force_branch=cfg.force_branch, force_uniform=cfg.force_uniform_gate,
     )  # [B,S,G,3]
-    w_cmp = gates[..., 0][..., None, None]  # [B,S,G,1,1]
-    w_sel = gates[..., 1][..., None, None]
-    w_win = gates[..., 2][..., None, None]
-    O = w_cmp * O_cmp + w_sel * O_sel + w_win * O_win
+    if tuned("nsa.flat_combine", 0):
+        # Flat [B,S,G,h*Dv] operands: the [.., h, 64] minor pair is
+        # T(8,128)-tile padded (2.67x HBM bytes) and the combine fusions
+        # run at bandwidth peak *for the padded size* (r4 profile,
+        # broadcast_multiply/add_add ~0.8 ms each). h*Dv = 384 lanes is
+        # unpadded. Same elementwise values — bit-exact.
+        hv = h * cfg.d_v
+        w_cmp = gates[..., 0][..., None]    # [B,S,G,1]
+        w_sel = gates[..., 1][..., None]
+        w_win = gates[..., 2][..., None]
+        O = (w_cmp * O_cmp.reshape(B, S, G, hv)
+             + w_sel * O_sel.reshape(B, S, G, hv)
+             + w_win * O_win.reshape(B, S, G, hv))
+    else:
+        w_cmp = gates[..., 0][..., None, None]  # [B,S,G,1,1]
+        w_sel = gates[..., 1][..., None, None]
+        w_win = gates[..., 2][..., None, None]
+        O = w_cmp * O_cmp + w_sel * O_sel + w_win * O_win
     out = O.reshape(B, S, cfg.n_heads * cfg.d_v) @ params["W_O"]
     return out, gates
 

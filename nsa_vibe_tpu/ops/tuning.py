@@ -78,6 +78,13 @@ DEFAULTS = {
     # r2-late validation baseline (57.4k @ loss 5.5535) stays bitwise
     # reproducible with flags off
     "proj.fused": 0,
+    # gate-combine in flat [B,S,G,h*Dv] form (core/nsa.combine_branches):
+    # [.., h=6, 64] minor dims are T(8,128)-tile padded to (8,128) in HBM
+    # (2.67x bytes), and the r4 profile shows the combine's
+    # broadcast_multiply/add_add fusions at ~0.8 ms each — right at
+    # bandwidth peak for the PADDED size. Flat 384-lane operands remove
+    # the padding. Bit-exact (same elementwise values). OFF until A/B'd.
+    "nsa.flat_combine": 0,
 }
 
 _TUNING_PATH = os.environ.get(

@@ -105,3 +105,39 @@ def test_pad_odd_heads_shapes():
     q6 = jnp.zeros((1, 8, 2, 6, 16))
     qp, h = _pad_odd_heads(q6)
     assert h == 6 and qp.shape[3] == 6
+
+
+def test_flat_combine_parity(monkeypatch):
+    """nsa.flat_combine=1 (flat [B,S,G,h*Dv] gate combine) is forward
+    bit-exact vs the 5-D path; grads agree to last-ulp (the gate-grad
+    reduction order differs — same class as flash.scale_on_q)."""
+    from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
+    from nsa_vibe_tpu.ops import tuning
+
+    cfg = NSAConfig(dim=128, n_heads=4, n_kv_groups=2, d_k=32, d_v=32,
+                    l=8, d=4, l_sel=16, n_sel=4, w=32)
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 48, 128))
+
+    def run():
+        out, _ = jax.jit(lambda p: nsa_prefill(p, x, cfg))(params)
+        g = jax.grad(lambda p: jnp.sum(nsa_prefill(p, x, cfg)[0] ** 2))(params)
+        return np.asarray(out), jax.tree_util.tree_map(np.asarray, g)
+
+    base = dict(tuning.DEFAULTS)
+    monkeypatch.setattr(tuning, "DEFAULTS", {**base, "nsa.flat_combine": 0})
+    tuning._load.cache_clear()
+    try:
+        o0, g0 = run()
+        monkeypatch.setattr(tuning, "DEFAULTS", {**base, "nsa.flat_combine": 1})
+        tuning._load.cache_clear()
+        o1, g1 = run()
+    finally:
+        tuning._load.cache_clear()
+    np.testing.assert_array_equal(o0, o1)
+    for (k, a), (_, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g0)[0],
+            jax.tree_util.tree_flatten_with_path(g1)[0]):
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(k)}")
