@@ -55,6 +55,9 @@ DEFAULTS = {
     #     fwd key defaults OFF and is only worth enabling with win.block_k
     #     <= 256.
     "flash.scale_on_q": 1,
+    # backward (one-pass) fastpath: isolating A/B r4 (ab_queue.jsonl
+    # 2026-08-20): flags-on 59919 vs bwdfast-off 59889 toks/s — within
+    # noise, bit-identical loss; kept ON (hits ~3/8 cmp bwd pairs)
     "flash.fastpath": 1,        # backward (one-pass) kernels
     "flash.fastpath_fwd": 0,    # forward flash_banded
     # (flash.bwd_ksplit / sel.bwd_ksplit were tried and REMOVED in r4 —
