@@ -161,6 +161,7 @@ def main() -> None:
         "chips": n_chips,
         "params_m": round(n_params / 1e6, 1),
         "batch": args.batch, "seq": args.seq, "remat": args.remat,
+        "varlen": args.varlen,
         "kernel": args.kernel,
         "mode": "chained" if args.chained else "dispatched",
         "step_ms": round(dt * 1e3, 2),
