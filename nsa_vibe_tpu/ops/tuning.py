@@ -85,8 +85,11 @@ DEFAULTS = {
     # [.., h=6, 64] minor dims are T(8,128)-tile padded to (8,128) in HBM
     # (2.67x bytes), and the r4 profile shows the combine's
     # broadcast_multiply/add_add fusions at ~0.8 ms each — right at
-    # bandwidth peak for the PADDED size. Flat 384-lane operands remove
-    # the padding. Bit-exact (same elementwise values). OFF until A/B'd.
+    # bandwidth peak for the PADDED size. MEASURED r4: 61,774 vs 62,311
+    # e2e (−0.9%, ab_queue r4 wave 2) — the reshape forces layout
+    # copies from the kernels' 5-D outputs that cost more than the
+    # unpadded fusion saves. Stays OFF; kept as the documented probe of
+    # the tile-padding hypothesis.
     "nsa.flat_combine": 0,
 }
 
