@@ -27,8 +27,13 @@ Design (idiomatic SPMD pipelining, cf. the public scaling-book recipe):
     with sequence/context parallelism (sp>1: every stage's attention runs
     sequence-sharded via nsa_attention_cp_local; activations, ppermute
     transfers and the loss head operate on S/sp slices — the pod
-    long-context configuration). tp does not compose with pp yet and is
-    rejected loudly at setup.
+    long-context configuration), and with tensor parallelism (tp>1: each
+    tp member holds G/tp kv groups — projection columns are group-major,
+    so the shard_map weight slice IS the local groups — plus 1/tp of the
+    MLP hidden; one psum over tp per sub-block completes the partial
+    W_O / down-proj products, and the shard_map transpose psums the
+    replicated leaves' grads across tp, verified exact). sp and tp in
+    the SAME pp mesh is the one rejected combination.
 
 Bubble fraction is (pp-1)/(M+pp-1) for M microbatches per step; M
 defaults to the accumulated batch's natural split (tcfg.pp_microbatches
@@ -67,36 +72,74 @@ def unstack_blocks(params: dict, n_layers: int) -> dict:
     return {**params, "blocks": blocks}
 
 
-def _fsdp_axis(shape_per_layer, fsdp_size: int, fsdp_min: int):
+def _fsdp_axis(shape_per_layer, fsdp_size: int, fsdp_min: int, skip: int = -1):
     """Largest per-layer axis that splits evenly over dp and is long
-    enough (mesh._spec_for's min-wrap rule); -1 = stay replicated."""
+    enough (mesh._spec_for's min-wrap rule); -1 = stay replicated.
+    `skip`: axis already taken by tp — fsdp must pick another."""
     for i in sorted(range(len(shape_per_layer)), key=lambda i: -shape_per_layer[i]):
+        if i == skip:
+            continue
         if shape_per_layer[i] >= fsdp_min and shape_per_layer[i] % fsdp_size == 0:
             return i
     return -1
 
 
-def fsdp_axes_tree(params_stacked: dict, fsdp_size: int, fsdp_min: int = 512):
+# per-layer tp-shard axes for block leaves (pp×tp: heads/groups shard
+# over tp on the projection column/row blocks — columns are group-major,
+# so an even split over tp assigns whole kv groups to each member; MLP
+# shards its hidden axis). Everything else (norms, gate MLP, conv ϕ)
+# is replicated: those weights are shared across groups, each tp member
+# applies them to its local groups, and the shard_map transpose psums
+# their grads across tp (verified exact vs global autodiff).
+_TP_AXES = {
+    ("attn", "W_Q"): 1, ("attn", "W_K_sel"): 1, ("attn", "W_V_sel"): 1,
+    ("attn", "W_K_win"): 1, ("attn", "W_V_win"): 1,
+    ("attn", "W_K_cmp"): 1, ("attn", "W_V_cmp"): 1,
+    ("attn", "W_O"): 0,
+    ("mlp", "w_in"): 1, ("mlp", "w_out"): 0,
+}
+
+
+def _tp_axis_of(path) -> int:
+    """Per-layer tp axis for a stacked-blocks leaf path (-1 = replicated).
+    path: tree_util key path WITHIN the blocks subtree (no leading [L])."""
+    names = [k.key for k in path if hasattr(k, "key")]
+    for (top, leaf), ax in _TP_AXES.items():
+        if top in names and names[-1] == leaf:
+            return ax
+    return -1
+
+
+def fsdp_axes_tree(params_stacked: dict, fsdp_size: int, fsdp_min: int = 512,
+                   tp_size: int = 1):
     """Per-LAYER dp-shard axis for every stacked block leaf (int, -1 =
-    replicated) — consumed by the in-scan all_gather and by the specs."""
-    return jax.tree_util.tree_map(
-        lambda a: _fsdp_axis(a.shape[1:], fsdp_size, fsdp_min),
+    replicated) — consumed by the in-scan all_gather and by the specs.
+    With tp_size > 1 the leaf's tp axis is excluded."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, a: _fsdp_axis(
+            a.shape[1:], fsdp_size, fsdp_min,
+            skip=_tp_axis_of(p) if tp_size > 1 else -1),
         params_stacked["blocks"],
     )
 
 
 def pipeline_param_specs(params_stacked: dict, fsdp_size: int = 1,
-                         fsdp_min: int = 512) -> dict:
+                         fsdp_min: int = 512, tp_size: int = 1) -> dict:
     """PartitionSpec pytree: stacked blocks shard their leading layer
-    axis over pp; with fsdp_size > 1 each block leaf additionally shards
-    its largest per-layer axis over dp (ZeRO-3 for params + optimizer
-    state — the per-layer all_gather/reduce_scatter happens inside the
-    stage scan). Embed/head stay replicated (tiny at byte vocab)."""
+    axis over pp; with tp_size > 1 projection/MLP leaves additionally
+    shard heads/hidden over tp (_TP_AXES); with fsdp_size > 1 each block
+    leaf additionally shards its largest remaining per-layer axis over
+    dp (ZeRO-3 for params + optimizer state — the per-layer
+    all_gather/reduce_scatter happens inside the stage scan). Embed/head
+    stay replicated (tiny at byte vocab)."""
 
-    def blk_spec(a):
+    def blk_spec(path, a):
         spec = ["pp"] + [None] * (a.ndim - 1)
+        tp_ax = _tp_axis_of(path) if tp_size > 1 else -1
+        if tp_ax >= 0:
+            spec[tp_ax + 1] = "tp"
         if fsdp_size > 1:
-            ax = _fsdp_axis(a.shape[1:], fsdp_size, fsdp_min)
+            ax = _fsdp_axis(a.shape[1:], fsdp_size, fsdp_min, skip=tp_ax)
             if ax >= 0:
                 spec[ax + 1] = "dp"
         while len(spec) > 1 and spec[-1] is None:
@@ -104,9 +147,8 @@ def pipeline_param_specs(params_stacked: dict, fsdp_size: int = 1,
         return P(*spec)
 
     return {
-        k: jax.tree_util.tree_map(
-            blk_spec if k == "blocks" else lambda _: P(), v
-        )
+        k: (jax.tree_util.tree_map_with_path(blk_spec, v) if k == "blocks"
+            else jax.tree_util.tree_map(lambda _: P(), v))
         for k, v in params_stacked.items()
     }
 
@@ -116,14 +158,15 @@ def pipeline_param_shardings(params_stacked: dict, mesh: Mesh,
     fsdp_size = mesh.shape["dp"] if fsdp else 1
     return jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s),
-        pipeline_param_specs(params_stacked, fsdp_size, fsdp_min),
+        pipeline_param_specs(params_stacked, fsdp_size, fsdp_min,
+                             tp_size=mesh.shape.get("tp", 1)),
         is_leaf=lambda x: isinstance(x, P),
     )
 
 
 def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
                     collect_aux: bool, fsdp_axes=None, seq_start=None,
-                    loss_mask=None, cp=None):
+                    loss_mask=None, cp=None, tp: int = 1):
     """Runs INSIDE shard_map on every (dp, pp[, sp]) mesh member.
     toks: this dp shard's [B_local, S+1] rows (replicated over pp and sp).
     seq_start/loss_mask [B_local, S]: varlen document starts + supervised
@@ -137,6 +180,18 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     Returns (loss, gates [L,B_local,S_loc,G,3] | None, sel | None);
     loss is psum'd over pp (and sp) and num/den-psum'd over dp."""
     cfg = mcfg.nsa
+    if tp > 1:
+        # pp×tp: each member holds G/tp kv groups (heads follow their
+        # group — projection columns are group-major, so the shard_map
+        # slice of the tp-sharded weights IS the local groups' slice)
+        # and 1/tp of the MLP hidden. nsa_prefill with the local config
+        # produces the PARTIAL W_O product; one psum over tp per
+        # sub-block completes it. Norm/gate/ϕ weights are replicated and
+        # applied to local groups; the shard_map transpose psums their
+        # grads across tp (verified exact vs global autodiff).
+        import dataclasses
+        cfg = dataclasses.replace(cfg, n_heads=cfg.n_heads // tp,
+                                  n_kv_groups=cfg.n_kv_groups // tp)
     B, S1 = toks.shape
     S = S1 - 1
     Bm = B // M
@@ -184,6 +239,17 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
             y = (y + mlp_fn(bp["mlp"],
                             rmsnorm(y, bp["mlp_norm"], mcfg.rmsnorm_eps))
                  ).astype(x.dtype)
+        elif tp > 1:
+            # tensor-sharded pre-norm residual block: local-group
+            # attention partial + psum, local-hidden MLP partial + psum
+            from nsa_vibe_tpu.core.nsa import nsa_prefill as _nsa_prefill
+            a, aux = _nsa_prefill(
+                bp["attn"], rmsnorm(x, bp["attn_norm"], mcfg.rmsnorm_eps),
+                cfg, seq_start=ss)
+            y = x + jax.lax.psum(a, "tp").astype(x.dtype)
+            mlp_fn = jax.checkpoint(mlp) if mcfg.remat == "mlp" else mlp
+            m = mlp_fn(bp["mlp"], rmsnorm(y, bp["mlp_norm"], mcfg.rmsnorm_eps))
+            y = (y + jax.lax.psum(m, "tp")).astype(x.dtype)
         else:
             y, aux = block_prefill(bp, x, mcfg, seq_start=ss)
             y = y.astype(x.dtype)  # residual adds promote; carry is fixed
@@ -266,6 +332,10 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
     # [s*Lp, (s+1)*Lp)), so a tiled gather on the layer axis reassembles L
     gates = jax.lax.all_gather(gates, "pp", axis=0, tiled=True)
     sel = jax.lax.all_gather(sel, "pp", axis=0, tiled=True)
+    if tp > 1:
+        # reassemble the full group axis from the tp members' local groups
+        gates = jax.lax.all_gather(gates, "tp", axis=3, tiled=True)
+        sel = jax.lax.all_gather(sel, "tp", axis=3, tiled=True)
     return loss, gates, sel
 
 
@@ -297,9 +367,18 @@ def pipeline_model_loss(
     pp = mesh.shape["pp"]
     if pp <= 1:
         raise ValueError("pipeline_model_loss needs a pp>1 mesh axis")
-    if mesh.shape.get("tp", 1) > 1:
-        raise ValueError("pp does not compose with tp>1 yet")
+    tp = mesh.shape.get("tp", 1)
     sp = mesh.shape.get("sp", 1)
+    if tp > 1:
+        if sp > 1:
+            raise ValueError("pp x sp x tp in one mesh is not supported "
+                             "(compose pp with either sp or tp)")
+        cfg_ = mcfg.nsa
+        hidden = int(cfg_.dim * mcfg.mlp_ratio)
+        if cfg_.n_kv_groups % tp != 0 or hidden % tp != 0:
+            raise ValueError(
+                f"tp={tp} must divide n_kv_groups={cfg_.n_kv_groups} "
+                f"and mlp hidden={hidden}")
     cp = None
     if sp > 1:
         # pp×sp: every stage's attention runs sequence-sharded over sp
@@ -330,7 +409,7 @@ def pipeline_model_loss(
             f"per-dp-shard batch {B // dp} not divisible by microbatches={M}")
 
     fsdp_size = dp if (fsdp and dp > 1) else 1
-    axes = (fsdp_axes_tree(params_stacked, fsdp_size, fsdp_min)
+    axes = (fsdp_axes_tree(params_stacked, fsdp_size, fsdp_min, tp_size=tp)
             if fsdp_size > 1 else None)
     varlen = seq_start is not None
     if varlen != (loss_mask is not None):
@@ -339,12 +418,13 @@ def pipeline_model_loss(
     sp_ax = "sp" if cp is not None else None
     aux_spec = P(None, "dp", sp_ax, None, None)
     out_specs = (P(), aux_spec, aux_spec) if collect_aux else (P(), P(), P())
-    param_specs = pipeline_param_specs(params_stacked, fsdp_size, fsdp_min)
+    param_specs = pipeline_param_specs(params_stacked, fsdp_size, fsdp_min,
+                                       tp_size=tp)
     if varlen:
         def local_fn(params, toks, ss, lm):
             return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
                                    fsdp_axes=axes, seq_start=ss, loss_mask=lm,
-                                   cp=cp)
+                                   cp=cp, tp=tp)
 
         loss, gates, sel = shard_map(
             local_fn, mesh=mesh,
@@ -354,7 +434,7 @@ def pipeline_model_loss(
     else:
         def local_fn(params, toks):
             return _pipeline_local(params, toks, mcfg, M, pp, collect_aux,
-                                   fsdp_axes=axes, cp=cp)
+                                   fsdp_axes=axes, cp=cp, tp=tp)
 
         loss, gates, sel = shard_map(
             local_fn, mesh=mesh,

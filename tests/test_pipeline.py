@@ -133,11 +133,11 @@ def test_pp_rejects_bad_composition():
     mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="mesh"):
         build_state_and_step(params, MCFG, tcfg, mesh)
-    # pp x tp is the remaining composition hole and is rejected loudly
-    tcfg_tp = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, tp=2)
-    mesh_tp = make_mesh(dp=1, pp=2, tp=2, devices=jax.devices()[:4])
-    with pytest.raises(ValueError, match="no tp yet"):
-        build_state_and_step(params, MCFG, tcfg_tp, mesh_tp)
+    # pp x sp x tp in ONE mesh is the remaining (rejected) composition
+    tcfg_3 = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, sp=2, tp=2)
+    mesh_3 = make_mesh(dp=1, pp=2, sp=2, tp=2, devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="not both"):
+        build_state_and_step(params, MCFG, tcfg_3, mesh_3)
     with pytest.raises(ValueError, match="divisible"):
         pipeline_model_loss(stack_blocks(params),
                             jnp.zeros((4, 65), jnp.int32),
@@ -365,4 +365,132 @@ def test_pp_sp_varlen_loss_matches():
         lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2,
                                          seq_start=ds, loss_mask=lm)[0]
     )(stack_blocks(params), toks))
+    assert abs(got - ref) < 1e-5, (got, ref)
+
+
+@pytest.mark.parametrize("pp,tp,dp,M", [(2, 2, 1, 2), (2, 2, 2, 2), (2, 4, 1, 2)])
+def test_pp_tp_loss_matches_single_device(pp, tp, dp, M):
+    """pp x tp (pipeline stages x tensor shards): each tp member holds
+    G/tp kv groups + 1/tp of the MLP hidden; loss equals the
+    single-device oracle. (tp=4 shards heads WITHIN the kv groups too —
+    rejected: tp must divide n_kv_groups=2, so tp=4 raises.)"""
+    params, toks = _setup()
+    mesh = make_mesh(dp=dp, pp=pp, tp=tp, devices=jax.devices()[: dp * pp * tp])
+    fn = jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=M)[0])
+    if tp > MCFG.nsa.n_kv_groups:
+        with pytest.raises(ValueError, match="divide"):
+            pipeline_model_loss(stack_blocks(params), toks, MCFG, mesh,
+                                microbatches=M)
+        return
+    ref = float(jax.jit(_ref_loss)(params, toks))
+    got = float(fn(stack_blocks(params), toks))
+    assert abs(got - ref) < 1e-5, (pp, tp, dp, M, got, ref)
+
+
+def test_pp_tp_gradients_match():
+    """pp=2 x tp=2 x dp=2 grads == single-device grads for EVERY leaf —
+    incl. the tp-replicated ones (norms, gate, embed/head), whose
+    cotangents the shard_map transpose psums across tp."""
+    params, toks = _setup()
+    mesh = make_mesh(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    g_ref = jax.jit(jax.grad(_ref_loss))(params, toks)
+    g_pp = jax.jit(jax.grad(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2)[0]
+    ))(stack_blocks(params), toks)
+    g_pp = unstack_blocks(g_pp, MCFG.n_layers)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves(g_pp),
+    ):
+        mae = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        scale = float(jnp.abs(jnp.asarray(a)).max()) + 1e-8
+        assert mae / scale < 1e-4, (jax.tree_util.keystr(path), mae, scale)
+
+
+def test_pp_tp_collect_aux_matches():
+    """Gate/selection observability under pp x tp: the tp members' local
+    group slices reassemble to the full [L,B,S,G,*] contract."""
+    params, toks = _setup()
+    mesh = make_mesh(dp=1, pp=2, tp=2, devices=jax.devices()[:4])
+    logits, auxes = jax.jit(
+        lambda p, t: model_forward(p, t, MCFG, collect_aux=True)
+    )(params, toks[:, :-1])
+    gates_ref = jnp.stack([a["gates"] for a in auxes]).astype(jnp.float32)
+    sel_ref = jnp.stack([a["sel_idx"] for a in auxes])
+    _, (gates, sel) = jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, collect_aux=True)
+    )(stack_blocks(params), toks)
+    assert gates.shape == gates_ref.shape
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
+    assert float(jnp.abs(gates - gates_ref).max()) < 1e-5
+
+
+def test_pp_tp_train_step_matches_dp():
+    """Integrated pp=2 x tp=2 x dp=2 train step == plain dp=4 train step
+    (loss, gate stats, updated params)."""
+    params, _ = _setup()
+    tcfg = TrainConfig(steps=4, batch_size=4, seq_len=64, accum_steps=2,
+                       lr=1e-3, warmup_steps=1, gate_stats=True)
+    toks = jax.random.randint(jax.random.PRNGKey(7), (2, 2, 4, 65),
+                              0, MCFG.vocab_size, jnp.int32)
+
+    mesh_dp = make_mesh(dp=4, devices=jax.devices()[:4])
+    step_dp, state_dp, shard_dp = build_state_and_step(
+        params, MCFG, tcfg, mesh_dp)
+
+    tcfg_pt = dataclasses.replace(tcfg, pp=2, tp=2, dp=2)
+    mesh_pt = make_mesh(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    params2 = init_model_params(jax.random.PRNGKey(0), MCFG)
+    step_pt, state_pt, shard_pt = build_state_and_step(
+        params2, MCFG, tcfg_pt, mesh_pt)
+
+    m_dp = m_pt = None
+    for i in range(2):
+        state_dp, m_dp = step_dp(state_dp, jax.device_put(toks[i], shard_dp))
+        state_pt, m_pt = step_pt(state_pt, jax.device_put(toks[i], shard_pt))
+        assert abs(float(m_dp["loss"]) - float(m_pt["loss"])) < 1e-5, i
+        assert bool(m_pt["good"])
+    assert float(m_pt["gate_entropy"]) > 0
+    assert abs(float(m_dp["gate_entropy"]) - float(m_pt["gate_entropy"])) < 1e-5
+    # the projection weights really are tp-sharded
+    spec = state_pt.params["blocks"]["attn"]["W_Q"].sharding.spec
+    assert "tp" in tuple(spec), spec
+    p_dp = jax.tree_util.tree_leaves(state_dp.params)
+    p_pt = jax.tree_util.tree_leaves(
+        unstack_blocks(state_pt.params, MCFG.n_layers))
+    for a, b in zip(p_dp, p_pt):
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 1e-5
+
+
+def test_pp_tp_fsdp_varlen():
+    """pp x tp x fsdp x varlen all at once: loss matches the varlen
+    oracle and fsdp picks a dp axis disjoint from the tp axis."""
+    from nsa_vibe_tpu.parallel.pipeline import pipeline_param_specs
+
+    S = 64
+    params, toks = _setup(B=4, S=S)
+    ds_np = np.zeros((4, S), np.int32)
+    ds_np[:, 32:] = 32
+    ds = jnp.asarray(ds_np)
+    lm = jnp.ones((4, S), jnp.float32)
+
+    def ref_loss(p, t):
+        logits, _ = model_forward(p, t[:, :-1], MCFG, seq_start=ds)
+        return cross_entropy_loss(logits, t[:, 1:], mask=lm)
+
+    mesh = make_mesh(dp=2, pp=2, tp=2, devices=jax.devices()[:8])
+    stacked = stack_blocks(params)
+    specs = pipeline_param_specs(stacked, fsdp_size=2, fsdp_min=32, tp_size=2)
+    for path, sp_ in jax.tree_util.tree_leaves_with_path(
+            specs["blocks"], is_leaf=lambda x: isinstance(
+                x, jax.sharding.PartitionSpec)):
+        names = tuple(x for x in tuple(sp_) if x)
+        assert len(names) == len(set(names)), (path, sp_)  # no axis reuse
+    ref = float(jax.jit(ref_loss)(params, toks))
+    got = float(jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2,
+                                         fsdp=True, fsdp_min=32,
+                                         seq_start=ds, loss_mask=lm)[0]
+    )(stacked, toks))
     assert abs(got - ref) < 1e-5, (got, ref)
