@@ -103,6 +103,18 @@ def main() -> None:
               lambda c: lambda q: flash_banded(q, K, V, mode="win", w=w,
                                                scale=0.125, block_q=c[0], block_k=c[1]))
     winners["win.block_q"], winners["win.block_k"] = b[0]
+    # diagonal band-tiled win forward (the r4 e2e winner on v5e): sweep
+    # its q-tile and emit win.fwd_diag=1 if it beats the axis-aligned
+    # winner standalone. As always, confirm flips via the e2e queue —
+    # standalone timings have inverted e2e outcomes before.
+    from nsa_vibe_tpu.ops.pallas.flash_diag import flash_banded_diag
+    print("win diag (block_q):")
+    bd = sweep("win-diag", [(bq,) for bq in (64, 128, 256)],
+               lambda c: lambda q: flash_banded_diag(q, K, V, w=w,
+                                                     scale=0.125, block_q=c[0]))
+    if bd is not None and bd[1] < b[1]:
+        winners["win.fwd_diag"] = 1
+        winners["win.diag_block_q"] = bd[0][0]
     print("cmp (block_q, block_k):")
     b = sweep("cmp", [(bq, bk) for bq in (128, 256, 512) for bk in (128, 256, 512)],
               lambda c: lambda q: flash_banded(q, Kc, Vc, mode="cmp", l=l, d=d,
