@@ -192,6 +192,19 @@ def _tile_active(sel_idx: jnp.ndarray, nq: int, block_q: int, J: int) -> jnp.nda
     return ta.transpose(0, 2, 1, 3)                           # [B,G,nq,J]
 
 
+def _smem_safe_block_q(B: int, G: int, S: int, J: int, block_q: int) -> int:
+    """SMEM guard for the forward's scalar-prefetched order table
+    ([B,G,nq,J] int32): Mosaic's smem footprint is ~4x its bytes
+    (calibrated on the B=64/S=2048/bq=128 OOM — 1.06M used of the 1.00M
+    limit, where 4 * 64*2*16*32*4B = 1.05M; the bq=256 estimate 0.52M
+    ran). Large batches degrade to FEWER, wider q-tiles instead of
+    compile-OOMing (mirrors the backward's VMEM degrade guard)."""
+    while (16 * B * G * ((S + block_q - 1) // block_q) * J
+           > int(0.9 * 2**20) and block_q < S):
+        block_q *= 2
+    return block_q
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("l_sel", "scale", "block_q", "kv_batch", "interpret",
@@ -244,8 +257,9 @@ def selection_flash_pallas(
         return O
 
     block_q = min(block_q, max(S, 8))
-    nq = pl.cdiv(S, block_q)
     J = pl.cdiv(S_kv, l_sel)          # total kv blocks
+    block_q = _smem_safe_block_q(B, G, S, J, block_q)
+    nq = pl.cdiv(S, block_q)
     KB = max(1, min(kv_batch, J))     # selection blocks per grid step
     Jg = pl.cdiv(J, KB)               # grid steps over kv blocks
     order, count = _compact_active(_tile_active(sel_idx, nq, block_q, J))

@@ -105,3 +105,15 @@ def test_decode_reads_independent_of_batch():
         _, _, info = step(params, x, cache)
         assert int(info.reads_pred) == N_EFF * CFG.l_sel + 1
         assert np.isfinite(float(info.sel_valid_tokens))
+
+
+def test_sel_fwd_smem_guard():
+    """The sel forward's order table ([B,G,nq,J] int32, ~4x in smem) must
+    degrade block_q before the 1 MB smem limit (B=64/S=2048/bq=128
+    compile-OOM'd on v5e at 1.06M/1.00M; the guard doubles to 256)."""
+    from nsa_vibe_tpu.ops.pallas.sel_flash import _smem_safe_block_q
+
+    assert _smem_safe_block_q(64, 2, 2048, 32, 128) == 256   # the OOM case
+    assert _smem_safe_block_q(16, 2, 2048, 32, 128) == 128   # train config fits
+    assert _smem_safe_block_q(256, 2, 2048, 32, 128) == 1024  # keeps doubling
+    assert _smem_safe_block_q(4096, 2, 2048, 32, 128) == 2048  # capped at S
