@@ -78,7 +78,12 @@ def main() -> None:
         "--save-every", "0",
         "--out-dir", args.out_dir,
     ]
-    env = {**os.environ, "PYTHONPATH": REPO}
+    # PREPEND the repo to PYTHONPATH rather than replacing it: the TPU
+    # env carries the axon plugin on PYTHONPATH and JAX_PLATFORMS=axon —
+    # dropping the plugin path while the platform stays pinned kills
+    # backend init in the child
+    pp = os.environ.get("PYTHONPATH", "")
+    env = {**os.environ, "PYTHONPATH": REPO + (os.pathsep + pp if pp else "")}
     subprocess.run(cmd, env=env, check=True, cwd=REPO)
 
     # val.csv rows: step, val_loss, ppl (no header); val batches come from
