@@ -120,6 +120,8 @@ def bench_decode_chained(S: int = 1024, n_short: int = 64, n_long: int = 2048,
 
 
 def main() -> None:
+    from nsa_vibe_tpu.ops.tuning import apply_tpu_env
+    apply_tpu_env()   # scoped-vmem budget flag; before backend init
     # GUARD + headline metric: chained device-only latency per S (stable;
     # see bench_decode_chained docstring). The reference's 5.99 ms is its
     # on-host launch-bound per-step latency; the axon tunnel's 0.5-2 ms

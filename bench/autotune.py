@@ -56,6 +56,8 @@ def chain_bench(fn, q0, iters=64):
 
 
 def main() -> None:
+    from nsa_vibe_tpu.ops.tuning import apply_tpu_env
+    apply_tpu_env()   # scoped-vmem budget flag; before backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--B", type=int, default=16)
     ap.add_argument("--S", type=int, default=2048)

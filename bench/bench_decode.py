@@ -287,6 +287,8 @@ def time_branches_isolated(params, cfg: NSAConfig, x_ctx, iters: int = 256):
 
 
 def main() -> None:
+    from nsa_vibe_tpu.ops.tuning import apply_tpu_env
+    apply_tpu_env()   # scoped-vmem budget flag; before backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--S", default="512,1024,2048,4096")
     ap.add_argument("--iters", type=int, default=64)

@@ -28,6 +28,8 @@ from nsa_vibe_tpu.core.nsa import init_nsa_params, nsa_prefill
 
 
 def main() -> None:
+    from nsa_vibe_tpu.ops.tuning import apply_tpu_env
+    apply_tpu_env()   # scoped-vmem budget flag; before backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--S", default="512,1024,2048,4096")
     ap.add_argument("--batch", type=int, default=1)

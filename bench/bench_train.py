@@ -25,6 +25,8 @@ import numpy as np
 
 
 def main() -> None:
+    from nsa_vibe_tpu.ops.tuning import apply_tpu_env
+    apply_tpu_env()   # scoped-vmem budget flag; before backend init
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--seq", type=int, default=2048)

@@ -130,6 +130,26 @@ VARIANTS += [
     # broadcast_multiply/add_add at padded-bandwidth peak). Fwd
     # bit-exact; grads last-ulp (gate-grad reduction order).
     ("flat-combine", {"nsa.flat_combine": 1}),
+    # r4 LATE: the 16 MB scoped-vmem ceiling every 256-row backward OOM
+    # hit is an XLA BUDGET, not physical VMEM — vmem.scoped_kib raises
+    # it via LIBTPU_INIT_ARGS (tuning.apply_tpu_env). First manual probe:
+    # win/cmp bwdq256 @ 24 MB = 63.6k vs 62.3k, loss byte-identical.
+    ("vm24-ctl", {"vmem.scoped_kib": 24576}),
+    ("vm24-bwdq256", {"vmem.scoped_kib": 24576,
+                      "win.bwd_block_q": 256, "cmp.bwd_block_q": 256}),
+    ("vm24-allq256", {"vmem.scoped_kib": 24576,
+                      "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                      "sel.bwd_block_q": 256}),
+    ("vm32-allq256", {"vmem.scoped_kib": 32768,
+                      "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                      "sel.bwd_block_q": 256}),
+    ("vm32-allq256k1024", {"vmem.scoped_kib": 32768,
+                           "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                           "sel.bwd_block_q": 256,
+                           "win.bwd_block_k": 1024}),
+    ("vm32-selkb16", {"vmem.scoped_kib": 32768, "sel.kv_batch": 16,
+                      "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                      "sel.bwd_block_q": 256}),
 ]
 
 

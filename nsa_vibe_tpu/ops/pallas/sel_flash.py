@@ -810,10 +810,16 @@ def selection_flash_bwd_onepass(
     J = pl.cdiv(S_kv, l_sel)
     KB = max(1, min(kv_batch, J))
     # degrade oversized tiles instead of compile-OOMing (tile sweeps stay
-    # runnable; mirrors flash_banded's fastpath VMEM guard)
+    # runnable; mirrors flash_banded's fastpath VMEM guard). The budget
+    # tracks vmem.scoped_kib: the estimator underestimates the measured
+    # Mosaic footprint by ~3 MB at bq=256 (est 19.1M vs 21.86M OOM), so
+    # plan against scoped - 3 MB (16 MB default -> the old 14M-ish rule;
+    # 24 MB -> 256-row tiles pass, which compile and win e2e).
+    from nsa_vibe_tpu.ops.tuning import scoped_vmem_bytes
+    budget = scoped_vmem_bytes() - 3 * 2**20
     while block_q > 128 and _onepass_vmem_est(
             block_q, h, KB, l_sel, pl.cdiv(S, block_q), Dk,
-            Dv) > 14 * 2**20:
+            Dv) > budget:
         block_q //= 2
     nq = pl.cdiv(S, block_q)
     Jg = pl.cdiv(J, KB)

@@ -81,6 +81,14 @@ DEFAULTS = {
     # r2-late validation baseline (57.4k @ loss 5.5535) stays bitwise
     # reproducible with flags off
     "proj.fused": 0,
+    # XLA scoped-vmem BUDGET in KiB (--xla_tpu_scoped_vmem_limit_kib via
+    # LIBTPU_INIT_ARGS; applied by apply_tpu_env() before backend init).
+    # The 16 MB default is a compiler budget, NOT the physical VMEM
+    # size: raising it to 24 MB lets the 256-row one-pass backward tiles
+    # compile — the tile class every earlier round's "scoped allocation
+    # 20.23M > 16.00M" OOMs retired. Measured r4: win/cmp bwd_block_q
+    # 256 at 24 MB = 63.6k vs 62.3k toks/s, loss byte-identical.
+    "vmem.scoped_kib": 16384,
     # gate-combine in flat [B,S,G,h*Dv] form (core/nsa.combine_branches):
     # [.., h=6, 64] minor dims are T(8,128)-tile padded to (8,128) in HBM
     # (2.67x bytes), and the r4 profile shows the combine's
@@ -113,3 +121,21 @@ def _load() -> dict:
 def tuned(key: str, default: Any = None) -> Any:
     """Look up a tuned kernel parameter (e.g. "win.block_k")."""
     return _load().get(key, default if default is not None else DEFAULTS[key])
+
+
+def apply_tpu_env() -> None:
+    """Propagate env-level TPU compiler flags derived from tuning keys.
+    Call BEFORE the first jax backend use (LIBTPU_INIT_ARGS is read at
+    backend init; safe no-op on CPU and when the key is at its default).
+    Entry points (bench_*, trainer, bench.py, autotune) all call this."""
+    kib = int(tuned("vmem.scoped_kib", 16384))
+    if kib and kib != 16384:
+        cur = os.environ.get("LIBTPU_INIT_ARGS", "")
+        if "scoped_vmem_limit" not in cur:
+            flag = f"--xla_tpu_scoped_vmem_limit_kib={kib}"
+            os.environ["LIBTPU_INIT_ARGS"] = (cur + " " + flag).strip()
+
+
+def scoped_vmem_bytes() -> int:
+    """The scoped-vmem budget kernels may plan against (bytes)."""
+    return int(tuned("vmem.scoped_kib", 16384)) * 1024

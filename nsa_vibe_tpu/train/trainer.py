@@ -385,6 +385,8 @@ def train(mcfg: ModelConfig, tcfg: TrainConfig, data_source: str = "synthetic",
 
 
 def main() -> None:
+    from nsa_vibe_tpu.ops.tuning import apply_tpu_env
+    apply_tpu_env()   # scoped-vmem budget flag; before backend init
     ap = argparse.ArgumentParser(description="NSA TPU showcase trainer")
     ap.add_argument("--config", default=None)
     ap.add_argument("--data", default=None, help="synthetic | path.jsonl | fineweb[:name]")
