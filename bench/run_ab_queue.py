@@ -150,6 +150,19 @@ VARIANTS += [
     ("vm32-selkb16", {"vmem.scoped_kib": 32768, "sel.kv_batch": 16,
                       "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
                       "sel.bwd_block_q": 256}),
+    # wave 2 of the scoped-vmem thread (allq256@24M won at 64.3k):
+    ("vm48-allq512", {"vmem.scoped_kib": 49152,
+                      "win.bwd_block_q": 512, "cmp.bwd_block_q": 512,
+                      "sel.bwd_block_q": 512}),
+    ("vm48-selbwdkb16", {"vmem.scoped_kib": 49152,
+                         "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                         "sel.bwd_block_q": 256, "sel.bwd_kv_batch": 16}),
+    # r2's cmp fused-bwd 256 disaster (-60%) was a 16 MB VMEM spill;
+    # retry under the raised budget with the winning bwd tiles
+    ("vm24-fusedbwd256", {"vmem.scoped_kib": 24576,
+                          "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                          "sel.bwd_block_q": 256,
+                          "cmp.fused_bwd_block_q": 256}),
 ]
 
 
