@@ -163,6 +163,19 @@ VARIANTS += [
                           "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
                           "sel.bwd_block_q": 256,
                           "cmp.fused_bwd_block_q": 256}),
+    # wave 3: vm24-fusedbwd256 won at 64.5k. The bwd fastpath guard
+    # auto-disables at 256-row tiles under <=24 MB (dual-body 12.6 MB);
+    # at 48 MB it re-admits — measures whether the cmp fastpath pays at
+    # the bigger tiles. Plus scorer tiles under the raised budget.
+    ("vm48-fb256-fast", {"vmem.scoped_kib": 49152,
+                         "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                         "sel.bwd_block_q": 256,
+                         "cmp.fused_bwd_block_q": 256}),
+    ("vm24-fb256-scorer256", {"vmem.scoped_kib": 24576,
+                              "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                              "sel.bwd_block_q": 256,
+                              "cmp.fused_bwd_block_q": 256,
+                              "scorer.block_q": 256}),
 ]
 
 

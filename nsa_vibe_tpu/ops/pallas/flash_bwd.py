@@ -477,10 +477,13 @@ def flash_banded_bwd_onepass(
     S_kv, Dv = K.shape[2], V.shape[3]
     # VMEM guard (mirrors flash_banded's): the fastpath branch keeps both
     # bodies' [rows, block_k] f32 intermediates live — at 256-row
-    # q tiles with bk=512 that alone is ~12 MB and
-    # compile-OOMs. Drop the flag instead of failing so tile sweeps stay
-    # runnable.
-    if fastpath and 2 * block_q * h * block_k * 4 > 6 * 2**20:
+    # q tiles with bk=512 that alone is ~12 MB and compile-OOMs under
+    # the default 16 MB scoped budget. Drop the flag instead of failing
+    # so tile sweeps stay runnable. The threshold scales with
+    # vmem.scoped_kib (6 MB of 16 MB default): a raised budget re-admits
+    # fastpath at the 256-row tiles it unlocked.
+    from nsa_vibe_tpu.ops.tuning import scoped_vmem_bytes
+    if fastpath and 2 * block_q * h * block_k * 4 > (6 * scoped_vmem_bytes()) // 16:
         fastpath = False
 
     q_chunk = 2048
