@@ -25,3 +25,13 @@ follow the paper; the reference's `q_len=1 is_causal` degeneracies
 __version__ = "0.1.0"
 
 from nsa_vibe_tpu.core.config import NSAConfig  # noqa: F401
+
+# Env-level TPU compiler flags derived from kernel tuning
+# (vmem.scoped_kib -> LIBTPU_INIT_ARGS). Applied at package import so
+# EVERY entry point gets them before the first jax backend init — the
+# merged 24 MB scoped-vmem budget is required for the 256-row backward
+# tiles in configs/kernel_tuning.json to compile. Idempotent; no-op at
+# the 16 MB default and on CPU.
+from nsa_vibe_tpu.ops.tuning import apply_tpu_env as _apply_tpu_env
+
+_apply_tpu_env()
