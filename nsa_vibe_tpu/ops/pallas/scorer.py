@@ -520,10 +520,15 @@ def nsa_select_and_cmp_pallas(
 
 
 def scorer_fits_vmem(h: int, S_sel: int, block_q: int = 128,
-                     cmp_chunk: int = 512, budget: int = 12 * 2**20) -> bool:
+                     cmp_chunk: int = 512, budget: int = 0) -> bool:
     """Whether the streamed scorer's VMEM working set (f32 p_slc
     accumulator + double-buffered M/K chunks + logits tile) fits. S_cmp
-    no longer matters — M streams through the grid."""
+    no longer matters — M streams through the grid. The default budget
+    is 3/4 of the scoped-vmem allocation (vmem.scoped_kib) — 12 MB at
+    the 16 MB default, scaling with the merged 24 MB budget."""
+    if not budget:
+        from nsa_vibe_tpu.ops.tuning import scoped_vmem_bytes
+        budget = (3 * scoped_vmem_bytes()) // 4
     rows = block_q * h
     need = 4 * (rows * S_sel          # acc scratch
                 + 2 * cmp_chunk * S_sel  # M chunk (double-buffered)
