@@ -176,6 +176,21 @@ VARIANTS += [
                               "sel.bwd_block_q": 256,
                               "cmp.fused_bwd_block_q": 256,
                               "scorer.block_q": 256}),
+    # wave 4 (geometry at the merged q256 tiles): win bwd bk=256 — at
+    # q256 the band intersection (w - bq + 1 = 257) >= 256, so aligned
+    # kv tiles CAN be fully live and the fastpath dual-body is only
+    # 3.1 MB (fires under the scaled guard). bk256@q128 lost (-2.0%)
+    # with zero fully-live pairs; this is a different geometry.
+    ("vm24-fb256-wink256", {"vmem.scoped_kib": 24576,
+                            "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                            "sel.bwd_block_q": 256,
+                            "cmp.fused_bwd_block_q": 256,
+                            "win.bwd_block_k": 256}),
+    ("vm32-selbwdkb12", {"vmem.scoped_kib": 32768,
+                         "win.bwd_block_q": 256, "cmp.bwd_block_q": 256,
+                         "sel.bwd_block_q": 256,
+                         "cmp.fused_bwd_block_q": 256,
+                         "sel.bwd_kv_batch": 12}),
 ]
 
 
