@@ -207,6 +207,8 @@ def run_variant(name: str, overrides: dict, args) -> dict:
            "--steps", str(args.steps)]
     if args.chained:
         cmd += ["--chained"]
+    if args.varlen:
+        cmd += ["--varlen"]
     t0 = time.time()
     try:
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
@@ -233,6 +235,12 @@ def main() -> None:
     ap.add_argument("--timeout", type=int, default=1500)
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names")
+    ap.add_argument("--varlen", action="store_true",
+                    help="run the queue on packed-document (varlen) "
+                         "batches — its own fixed-seed loss gate "
+                         "(4.4573 at b16/S=2048/8 steps chained); do "
+                         "not mix dense and varlen records in one "
+                         "winner selection")
     ap.add_argument("--chained", action="store_true",
                     help="use bench_train --chained (device-time per step; "
                          "REQUIRED on a congested tunnel — mixing modes in "
