@@ -195,6 +195,10 @@ VARIANTS += [
 
 
 def run_variant(name: str, overrides: dict, args) -> dict:
+    if args.varlen:
+        # distinct record names: ab_select keys "last run of a name
+        # wins", and dense vs varlen runs have different loss gates
+        name = name + "-varlen"
     with open(os.path.join(REPO, "configs", "kernel_tuning.json")) as f:
         base = json.load(f)
     merged = {**base, **overrides}
