@@ -24,6 +24,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true")
     ap.add_argument("--log", default=LOG)
+    ap.add_argument("--varlen", action="store_true",
+                    help="select among varlen-mode records (their own "
+                         "loss gate) instead of dense ones")
     args = ap.parse_args()
 
     recs: dict = {}
@@ -31,6 +34,15 @@ def main() -> None:
         for ln in f:
             r = json.loads(ln)
             recs[r["variant"]] = r          # last run of a name wins
+
+    # dense and varlen runs have DIFFERENT fixed-seed loss gates — never
+    # rank them against each other. Varlen records are tagged by the
+    # queue with a -varlen suffix / varlen:true; select within one mode.
+    varlen_mode = bool(args.varlen)
+    recs = {k: r for k, r in recs.items()
+            if bool(r.get("varlen")) == varlen_mode}
+    if not recs:
+        raise SystemExit("no records for this mode (use --varlen?)")
 
     ok = {k: v for k, v in recs.items() if "value" in v}
     errs = {k: v for k, v in recs.items() if "error" in v}
@@ -42,7 +54,7 @@ def main() -> None:
     for name, r in errs.items():
         print(f"{name:18s} ERROR: {r['error'][-160:]}")
 
-    base = ok.get("flags-off")
+    base = ok.get("flags-off-varlen" if varlen_mode else "flags-off")
     if base:
         print(f"\nflags-off baseline: {base['value']:.1f} toks/s @ loss "
               f"{base['loss']} (r2 record: 57.4k @ 5.5535)")
