@@ -117,3 +117,32 @@ def test_sel_fwd_smem_guard():
     assert _smem_safe_block_q(16, 2, 2048, 32, 128) == 128   # train config fits
     assert _smem_safe_block_q(256, 2, 2048, 32, 128) == 1024  # keeps doubling
     assert _smem_safe_block_q(4096, 2, 2048, 32, 128) == 2048  # capped at S
+
+
+def test_apply_tpu_env(monkeypatch):
+    """vmem.scoped_kib != default propagates to LIBTPU_INIT_ARGS exactly
+    once (idempotent), appends to an existing value, and is a no-op at
+    the 16 MB default."""
+    import os
+
+    from nsa_vibe_tpu.ops import tuning
+
+    base = dict(tuning.DEFAULTS)
+    monkeypatch.setenv("LIBTPU_INIT_ARGS", "--preexisting=1")
+    monkeypatch.setattr(tuning, "DEFAULTS", {**base, "vmem.scoped_kib": 16384})
+    tuning._load.cache_clear()
+    try:
+        tuning.apply_tpu_env()
+        assert os.environ["LIBTPU_INIT_ARGS"] == "--preexisting=1"  # no-op
+
+        monkeypatch.setattr(tuning, "DEFAULTS",
+                            {**base, "vmem.scoped_kib": 24576})
+        tuning._load.cache_clear()
+        tuning.apply_tpu_env()
+        tuning.apply_tpu_env()                                      # idempotent
+        val = os.environ["LIBTPU_INIT_ARGS"]
+        assert val.startswith("--preexisting=1")
+        assert val.count("--xla_tpu_scoped_vmem_limit_kib=24576") == 1
+        assert tuning.scoped_vmem_bytes() == 24576 * 1024
+    finally:
+        tuning._load.cache_clear()
