@@ -129,6 +129,8 @@ def test_apply_tpu_env(monkeypatch):
 
     base = dict(tuning.DEFAULTS)
     monkeypatch.setenv("LIBTPU_INIT_ARGS", "--preexisting=1")
+    # point away from the repo config (it carries the merged 24576)
+    monkeypatch.setattr(tuning, "_TUNING_PATH", "/nonexistent.json")
     monkeypatch.setattr(tuning, "DEFAULTS", {**base, "vmem.scoped_kib": 16384})
     tuning._load.cache_clear()
     try:
