@@ -191,6 +191,14 @@ VARIANTS += [
                          "sel.bwd_block_q": 256,
                          "cmp.fused_bwd_block_q": 256,
                          "sel.bwd_kv_batch": 12}),
+    # r5: gate-epilogue fold — branch kernels emit g*O directly (combine
+    # becomes a pure add) and the gate-logit grad rides the delta
+    # preprocess via the D-form softmax vjp (no extra reduce): removes
+    # the 3 per-branch dg multiply_reduce fusions per layer from the
+    # backward. NOT bit-identical to the unfused path (gates stay f32
+    # into the kernel epilogue) — its loss is its own gate, validated by
+    # tests/test_gate_fold.py gradient parity.
+    ("gate-fold", {"nsa.gate_fold": 1}),
 ]
 
 

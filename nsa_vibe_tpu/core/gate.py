@@ -50,6 +50,46 @@ def gate_probs(
     return jax.nn.softmax(g.astype(jnp.float32), axis=-1).astype(q_pooled.dtype)
 
 
+@jax.custom_vjp
+def _softmax_dform(z: jnp.ndarray) -> jnp.ndarray:
+    """Softmax whose backward expects the D-FORM cotangent D_k = g_k*dg_k
+    instead of dg_k (the true upstream). The gated branch kernels
+    (gate-epilogue fold, ops.attention) return exactly D_k =
+    rowsum(dO * Y_k) = g_k * rowsum(dO * O_k) as the gate cotangent —
+    so the pair composes to the EXACT softmax-combine gradient:
+
+        dz_k = g_k*(dg_k - sum_j g_j*dg_j) = D_k - g_k * sum_j D_j
+
+    with no division by a (possibly collapsing, g->0) gate anywhere.
+    MUST only receive cotangents produced by the gated-branch vjps; any
+    other consumer of its output (e.g. a gate-entropy regularizer) would
+    silently get wrong gradients — aux-visible gates are stop_gradient'd
+    (core.nsa) for exactly this reason."""
+    return jax.nn.softmax(z, axis=-1)
+
+
+def _softmax_dform_fwd(z):
+    g = jax.nn.softmax(z, axis=-1)
+    return g, g
+
+
+def _softmax_dform_bwd(g, D):
+    return (D - g * jnp.sum(D, axis=-1, keepdims=True),)
+
+
+_softmax_dform.defvjp(_softmax_dform_fwd, _softmax_dform_bwd)
+
+
+def gate_probs_dform(params, q_pooled: jnp.ndarray, tau: float = 1.0) -> jnp.ndarray:
+    """Gate probabilities [..., 3] (f32) for the gate-epilogue fold path:
+    identical VALUES to gate_probs (no force overrides), but the softmax
+    carries the D-form gradient contract (_softmax_dform). Only valid
+    when every consumer of a gate column is a gated-branch custom_vjp."""
+    x = jax.nn.silu(q_pooled @ params["w1"] + params["b1"])
+    z = (x @ params["w2"] + params["b2"]) / max(tau, 1e-6)
+    return _softmax_dform(z.astype(jnp.float32))
+
+
 def gate_stats(gates: jnp.ndarray) -> dict:
     """Gate-health statistics (reference nsa_attention.py:127-165):
     entropy, max-gate, branch shares, collapse fraction."""

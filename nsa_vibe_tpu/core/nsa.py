@@ -216,6 +216,25 @@ def nsa_prefill(
     impl, interpret = _resolve_kernel(cfg.kernel, cfg.h_per_group)
     from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
 
+    # gate-epilogue fold: branch kernels emit g*O directly (combine
+    # becomes a pure add) and the gate-logit gradient rides the delta
+    # preprocess via the D-form softmax vjp (core.gate._softmax_dform) —
+    # removes the per-branch dg reduce fusions and the padded gate
+    # multiplies from the combine. Pallas-only; force overrides keep the
+    # standard (constant-gate) combine.
+    use_fold = (impl == "pallas" and bool(tuned("nsa.gate_fold", 0))
+                and cfg.force_branch is None and not cfg.force_uniform_gate)
+    gates_fold = None
+    if use_fold:
+        from nsa_vibe_tpu.core.gate import gate_probs_dform
+
+        with jax.named_scope("nsa.gate"):
+            gates_fold = gate_probs_dform(
+                params["gate"], Q.mean(axis=3), cfg.gate_temp)  # [B,S,G,3] f32
+    g_cmp = gates_fold[..., 0] if use_fold else None
+    g_sel = gates_fold[..., 1] if use_fold else None
+    g_win = gates_fold[..., 2] if use_fold else None
+
     # S_cmp == 0 (S < l): no compressed tokens — the fused kernel has no
     # K tiles to stream; fall through to the jnp path (whose scorer and
     # cmp branch both short-circuit to forced-blocks / zeros).
@@ -232,7 +251,7 @@ def nsa_prefill(
                 scale=scale, l=cfg.l, d=cfg.d, l_sel=cfg.l_sel,
                 n_top=cfg.n_sel, force_init=cfg.force_init,
                 force_local=cfg.force_local, t_start=pos_offset,
-                seq_start=seq_start, interpret=interpret,
+                seq_start=seq_start, interpret=interpret, gate=g_cmp,
             )
         elif varlen:
             from nsa_vibe_tpu.ops.varlen import (
@@ -271,20 +290,35 @@ def nsa_prefill(
             O_cmp = attn_ops.compressed_attention(
                 Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
                 t_start=pos_offset, seq_start=seq_start, t_pos=t_pos,
+                gate=(g_cmp if use_fold and S_cmp > 0 else None),
             )
+            if use_fold and S_cmp == 0:
+                # zero cmp branch: gated output is still zero, but the
+                # gate logit must keep its (zero) D-form grad path — a
+                # plain zeros O_cmp carries no g dependence, which is
+                # exactly the true gradient here (D = rowsum(dO*0) = 0)
+                pass
     with jax.named_scope("nsa.branch_sel"):
         O_sel = attn_ops.selection_attention(
             Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,
-            pos_offset=pos_offset, seq_start=seq_start,
+            pos_offset=pos_offset, seq_start=seq_start, gate=g_sel,
         )
     with jax.named_scope("nsa.branch_win"):
         O_win = attn_ops.sliding_window_attention(
             Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel,
-            t_start=pos_offset, seq_start=seq_start,
+            t_start=pos_offset, seq_start=seq_start, gate=g_win,
         )
 
     with jax.named_scope("nsa.gate_out"):
-        out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
+        if use_fold:
+            # branches are pre-gated: combine is a pure add + projection
+            O = O_cmp + O_sel + O_win
+            out = O.reshape(B, S, cfg.n_heads * cfg.d_v) @ params["W_O"]
+            # aux gates are DETACHED: their grad contract is the D-form
+            # (only the gated-branch vjps may produce their cotangents)
+            gates = jax.lax.stop_gradient(gates_fold)
+        else:
+            out, gates = combine_branches(params, cfg, Q, O_cmp, O_sel, O_win)
     aux = {
         "gates": gates,
         "sel_idx": sel_idx,

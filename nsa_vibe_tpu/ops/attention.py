@@ -46,14 +46,17 @@ from nsa_vibe_tpu.ops.tuning import tuned
 def fused_select_cmp(
     Q, K_cmp, V_cmp, M, *, scale: float, l: int, d: int, l_sel: int,
     n_top: int, force_init: bool, force_local: int, t_start=None,
-    seq_start=None, interpret: bool = False,
+    seq_start=None, interpret: bool = False, gate=None,
 ):
     """Fused Eq. 8-12 selection + compressed-branch attention
     (ops.pallas.scorer.nsa_select_and_cmp_pallas) with the analytical
     cmp flash backward. Returns (sel_idx [stop-grad by dtype], O_cmp).
     seq_start [B,S]: varlen document starts — threads doc visibility
-    through the fused kernel AND the cmp flash backward."""
-    from nsa_vibe_tpu.ops.pallas.flash import _as_t0
+    through the fused kernel AND the cmp flash backward.
+    gate [B,S,G] f32: gate-epilogue fold — O_cmp is emitted pre-gated
+    (g*O) with the D-form gate gradient (see _flash_vjp_gated);
+    selection indices are unaffected."""
+    from nsa_vibe_tpu.ops.pallas.flash import _as_t0, gate_rows_flat
     from nsa_vibe_tpu.ops.pallas.scorer import nsa_select_and_cmp_pallas
 
     Q, h = _pad_odd_heads(Q)
@@ -68,6 +71,66 @@ def fused_select_cmp(
     kwb = dict(mode="cmp", l=l, d=d, scale=scale, interpret=interpret,
                block_k=tuned("cmp.fused_bwd_block_k", tuned("cmp.block_k")),
                block_q=tuned("cmp.fused_bwd_block_q", 128))
+
+    if gate is not None:
+        hp = Q.shape[3]
+
+        if seq_start is not None:
+            @jax.custom_vjp
+            def fgv(t0, ds, g, Q, K, V, M):
+                sel, O, _ = nsa_select_and_cmp_pallas(
+                    Q, K, V, M, pos_offset=t0, seq_start=ds,
+                    gate_rows=gate_rows_flat(g, hp), **kwf)
+                return sel, O
+
+            def fwdgv(t0, ds, g, Q, K, V, M):
+                sel, O, lse = nsa_select_and_cmp_pallas(
+                    Q, K, V, M, pos_offset=t0, seq_start=ds,
+                    gate_rows=gate_rows_flat(g, hp), **kwf)
+                return (sel, O), (t0, ds, g, Q, K, V, O, lse)
+
+            def bwdgv(res, upstream):
+                t0, ds, g, Q, K, V, O, lse = res
+                _, dO = upstream
+                B, S, G = g.shape
+                D = _delta(dO, O)
+                dq, dk, dv = _bwd_impl()(Q, K, V, _gated_dO(dO, g), lse, D,
+                                         t_start=t0, seq_start=ds, **kwb)
+                dg = _gate_cotangent(D, B, S, G, hp, g.dtype)
+                return (_int_cotangent(t0), _int_cotangent(ds), dg,
+                        dq, dk, dv, jnp.zeros_like(M))
+
+            fgv.defvjp(fwdgv, bwdgv)
+            sel, O = fgv(_as_t0(t_start), seq_start.astype(jnp.int32),
+                         gate, Q, K_cmp, V_cmp, M)
+            return (sel, O[:, :, :, :h]) if Q.shape[3] != h else (sel, O)
+
+        @jax.custom_vjp
+        def fg(t0, g, Q, K, V, M):
+            sel, O, _ = nsa_select_and_cmp_pallas(
+                Q, K, V, M, pos_offset=t0,
+                gate_rows=gate_rows_flat(g, hp), **kwf)
+            return sel, O
+
+        def fwdg(t0, g, Q, K, V, M):
+            sel, O, lse = nsa_select_and_cmp_pallas(
+                Q, K, V, M, pos_offset=t0,
+                gate_rows=gate_rows_flat(g, hp), **kwf)
+            return (sel, O), (t0, g, Q, K, V, O, lse)
+
+        def bwdg(res, upstream):
+            t0, g, Q, K, V, O, lse = res
+            _, dO = upstream
+            B, S, G = g.shape
+            D = _delta(dO, O)
+            dq, dk, dv = _bwd_impl()(Q, K, V, _gated_dO(dO, g), lse, D,
+                                     t_start=t0, **kwb)
+            dg = _gate_cotangent(D, B, S, G, hp, g.dtype)
+            return (_int_cotangent(t0), dg, dq, dk, dv, jnp.zeros_like(M))
+
+        fg.defvjp(fwdg, bwdg)
+        sel, O = fg(_as_t0(t_start), gate, Q, K_cmp, V_cmp, M)
+        return (sel, O[:, :, :, :h]) if Q.shape[3] != h else (sel, O)
 
     if seq_start is not None:
         # traced int operands (t0, ds) are explicit custom_vjp arguments
@@ -141,6 +204,22 @@ def _int_cotangent(x):
     return _np.zeros(x.shape, jax.dtypes.float0)
 
 
+def _gate_cotangent(D: jnp.ndarray, B: int, S: int, G: int, h: int,
+                    dtype) -> jnp.ndarray:
+    """Flat gated delta D = rowsum(dO*Y) [B*G,1,stats_rows] -> the D-form
+    gate cotangent [B,S,G] = sum_h D (gates broadcast over heads). This
+    is g*dg, NOT dg — it pairs exactly with core.gate._softmax_dform
+    (dz = D - g*sum(D)); never feed it to a plain softmax vjp."""
+    d = D[:, 0, :S * h].reshape(B, G, S, h).sum(-1)      # [B,G,S]
+    return d.transpose(0, 2, 1).astype(dtype)
+
+
+def _gated_dO(dO: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """dO_branch = gate * dO ([B,S,G,h,Dv] * [B,S,G]) — the branch-local
+    upstream for the (unchanged) backward kernels under the gate fold."""
+    return dO * g[..., None, None].astype(dO.dtype)
+
+
 def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
                varlen: bool = False):
     """custom_vjp with analytical Pallas forward AND backward (the
@@ -199,6 +278,75 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
     return f
 
 
+def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
+                     interpret: bool, varlen: bool = False):
+    """Gate-epilogue fold variant of _flash_vjp: the kernel emits the
+    GATED branch output Y = g*O (g [B,S,G] f32 is a differentiable
+    argument), and the backward needs no extra reduce — the delta
+    preprocess rowsum(dO*Y) IS the gated flash delta (g*rowsum(dO*O))
+    AND, summed over heads, the D-form gate cotangent consumed by
+    core.gate._softmax_dform. No division by g anywhere, exact at g=0
+    (dz -> 0 smoothly, matching the true softmax-combine gradient)."""
+    from nsa_vibe_tpu.ops.pallas.flash import gate_rows_flat
+
+    kw = dict(mode=mode, w=w, l=l, d=d, scale=scale, interpret=interpret)
+    kw["block_k"] = tuned(f"{mode}.block_k")
+    kw["block_q"] = tuned(f"{mode}.block_q")
+    kwb = dict(kw, block_k=tuned(f"{mode}.bwd_block_k", kw["block_k"]),
+               block_q=tuned(f"{mode}.bwd_block_q", 128))
+
+    def _bwd_common(t0, ds, g, Q, K, V, Y, lse, dO):
+        B, S, G, h, _ = Q.shape
+        D = _delta(dO, Y)                       # gated delta == D-form carrier
+        extra = {"seq_start": ds} if ds is not None else {}
+        dq, dk, dv = _bwd_impl()(Q, K, V, _gated_dO(dO, g), lse, D,
+                                 t_start=t0, **extra, **kwb)
+        return _gate_cotangent(D, B, S, G, h, g.dtype), dq, dk, dv
+
+    if varlen:
+        @jax.custom_vjp
+        def fv(t0, ds, g, Q, K, V):
+            h = Q.shape[3]
+            return flash_banded(Q, K, V, t_start=t0, seq_start=ds,
+                                gate_rows=gate_rows_flat(g, h), **kw)
+
+        def fwdv(t0, ds, g, Q, K, V):
+            h = Q.shape[3]
+            Y, lse = flash_banded(Q, K, V, t_start=t0, seq_start=ds,
+                                  gate_rows=gate_rows_flat(g, h),
+                                  return_lse=True, **kw)
+            return Y, (t0, ds, g, Q, K, V, Y, lse)
+
+        def bwdv(res, dO):
+            t0, ds, g, Q, K, V, Y, lse = res
+            dg, dq, dk, dv = _bwd_common(t0, ds, g, Q, K, V, Y, lse, dO)
+            return (_int_cotangent(t0), _int_cotangent(ds), dg, dq, dk, dv)
+
+        fv.defvjp(fwdv, bwdv)
+        return fv
+
+    @jax.custom_vjp
+    def f(t0, g, Q, K, V):
+        h = Q.shape[3]
+        return flash_banded(Q, K, V, t_start=t0,
+                            gate_rows=gate_rows_flat(g, h), **kw)
+
+    def fwd(t0, g, Q, K, V):
+        h = Q.shape[3]
+        Y, lse = flash_banded(Q, K, V, t_start=t0,
+                              gate_rows=gate_rows_flat(g, h),
+                              return_lse=True, **kw)
+        return Y, (t0, g, Q, K, V, Y, lse)
+
+    def bwd(res, dO):
+        t0, g, Q, K, V, Y, lse = res
+        dg, dq, dk, dv = _bwd_common(t0, None, g, Q, K, V, Y, lse, dO)
+        return (_int_cotangent(t0), dg, dq, dk, dv)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
     kw = dict(l_sel=l_sel, scale=scale, interpret=interpret,
               kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
@@ -224,6 +372,47 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
         dq, dk, dv = sel_bwd(Q, K, V, sel_idx, g, lse, _delta(g, O),
                              pos_offset=t0, **kwb, **extra)
         return (_int_cotangent(sel_idx), _int_cotangent(t0), dq, dk, dv)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _sel_flash_vjp_gated(l_sel: int, scale: float, interpret: bool):
+    """Gate-epilogue fold variant of _sel_flash_vjp (see
+    _flash_vjp_gated for the gradient contract)."""
+    from nsa_vibe_tpu.ops.pallas.flash import gate_rows_flat
+
+    kw = dict(l_sel=l_sel, scale=scale, interpret=interpret,
+              kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
+    kwb = dict(kw, block_q=tuned("sel.bwd_block_q", 128),
+               kv_batch=tuned("sel.bwd_kv_batch", kw["kv_batch"]))
+    kwb_chunk = tuned("sel.bwd_q_chunk", 0)
+
+    @jax.custom_vjp
+    def f(sel_idx, t0, g, Q, K, V):
+        h = Q.shape[3]
+        return selection_flash_pallas(Q, K, V, sel_idx, pos_offset=t0,
+                                      gate_rows=gate_rows_flat(g, h), **kw)
+
+    def fwd(sel_idx, t0, g, Q, K, V):
+        h = Q.shape[3]
+        Y, lse = selection_flash_pallas(Q, K, V, sel_idx, pos_offset=t0,
+                                        gate_rows=gate_rows_flat(g, h),
+                                        return_lse=True, **kw)
+        return Y, (sel_idx, t0, g, Q, K, V, Y, lse)
+
+    def bwd(res, dO):
+        sel_idx, t0, g, Q, K, V, Y, lse = res
+        B, S, G, h, _ = Q.shape
+        sel_bwd = (selection_flash_bwd_onepass
+                   if tuned("sel.bwd_onepass", tuned("bwd.onepass", 1))
+                   else selection_flash_bwd)
+        extra = {"q_chunk": kwb_chunk} if kwb_chunk else {}
+        D = _delta(dO, Y)
+        dq, dk, dv = sel_bwd(Q, K, V, sel_idx, _gated_dO(dO, g), lse, D,
+                             pos_offset=t0, **kwb, **extra)
+        dg = _gate_cotangent(D, B, S, G, h, g.dtype)
+        return (_int_cotangent(sel_idx), _int_cotangent(t0), dg, dq, dk, dv)
 
     f.defvjp(fwd, bwd)
     return f
@@ -283,14 +472,18 @@ def _with_ref_vjp(pallas_fn: Callable, ref_fn: Callable):
 def sliding_window_attention(
     Q: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
     t_pos: jnp.ndarray, w: int, scale: float, kernel: str = "auto",
-    t_start=None, seq_start=None,
+    t_start=None, seq_start=None, gate=None,
 ) -> jnp.ndarray:
     """t_start: global position of query row 0 (int or traced scalar) —
     required by the Pallas path when t_pos does not start at 0 (sequence
     sharding / chunked prefill). The reference path reads t_pos directly.
-    seq_start [B,S]: per-row document starts (varlen batching, ops.varlen)."""
+    seq_start [B,S]: per-row document starts (varlen batching, ops.varlen).
+    gate [B,S,G] f32 (Pallas-only, gate-epilogue fold): returns g*O with
+    the D-form gate gradient (see _flash_vjp_gated)."""
     impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if impl == "reference":
+        if gate is not None:
+            raise ValueError("gate fold requires the Pallas kernel path")
         if seq_start is not None:
             from nsa_vibe_tpu.ops.varlen import sliding_window_attention_varlen
 
@@ -300,7 +493,15 @@ def sliding_window_attention(
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
     Qp, h = _pad_odd_heads(Q)
-    if seq_start is not None:
+    if gate is not None:
+        if seq_start is not None:
+            out = _flash_vjp_gated("win", w, 0, 1, scale, interpret,
+                                   varlen=True)(
+                _as_t0(t_start), seq_start.astype(jnp.int32), gate, Qp, K, V)
+        else:
+            out = _flash_vjp_gated("win", w, 0, 1, scale, interpret)(
+                _as_t0(t_start), gate, Qp, K, V)
+    elif seq_start is not None:
         out = _flash_vjp("win", w, 0, 1, scale, interpret, varlen=True)(
             _as_t0(t_start), seq_start.astype(jnp.int32), Qp, K, V)
     else:
@@ -311,16 +512,19 @@ def sliding_window_attention(
 def compressed_attention(
     Q: jnp.ndarray, K_cmp: jnp.ndarray, V_cmp: jnp.ndarray,
     num_cmp_t: jnp.ndarray, l: int, d: int, scale: float, kernel: str = "auto",
-    t_start=None, seq_start=None, t_pos=None,
+    t_start=None, seq_start=None, t_pos=None, gate=None,
 ) -> jnp.ndarray:
     """seq_start [B,S] + t_pos [S] enable varlen (document-masked) mode:
-    pooled windows are visible iff fully inside the query's document."""
+    pooled windows are visible iff fully inside the query's document.
+    gate [B,S,G] f32: gate-epilogue fold (Pallas only; _flash_vjp_gated)."""
     impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if K_cmp.shape[2] == 0:
         # no compressed tokens yet (S < l): the branch contributes zeros
         B, S, G, h, _ = Q.shape
         return jnp.zeros((B, S, G, h, V_cmp.shape[3]), Q.dtype)
     if impl == "reference":
+        if gate is not None:
+            raise ValueError("gate fold requires the Pallas kernel path")
         if seq_start is not None:
             from nsa_vibe_tpu.ops.varlen import compressed_attention_varlen
 
@@ -330,7 +534,16 @@ def compressed_attention(
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0
 
     Qp, h = _pad_odd_heads(Q)
-    if seq_start is not None:
+    if gate is not None:
+        if seq_start is not None:
+            out = _flash_vjp_gated("cmp", 0, l, d, scale, interpret,
+                                   varlen=True)(
+                _as_t0(t_start), seq_start.astype(jnp.int32), gate,
+                Qp, K_cmp, V_cmp)
+        else:
+            out = _flash_vjp_gated("cmp", 0, l, d, scale, interpret)(
+                _as_t0(t_start), gate, Qp, K_cmp, V_cmp)
+    elif seq_start is not None:
         out = _flash_vjp("cmp", 0, l, d, scale, interpret, varlen=True)(
             _as_t0(t_start), seq_start.astype(jnp.int32), Qp, K_cmp, V_cmp)
     else:
@@ -345,10 +558,14 @@ def selection_attention(
     kernel: str = "auto",
     pos_offset: int = 0,
     seq_start=None,
+    gate=None,
 ) -> jnp.ndarray:
     """Prefill uses the masked block-flash kernel (each block in a q-tile's
     union fetched once); single-query decode uses the per-query gather
     kernel (reads exactly n*l_sel keys).
+
+    gate [B,S,G] f32: gate-epilogue fold (Pallas prefill only; see
+    _sel_flash_vjp_gated).
 
     Varlen (seq_start given): the Pallas kernels need NO doc bound — a
     varlen sel_idx (select_topn_blocks_varlen) only contains doc-local
@@ -357,6 +574,8 @@ def selection_attention(
     The reference path applies the explicit doc-masked oracle."""
     impl, interpret = resolve_kernel(kernel, Q.shape[3])
     if impl == "reference":
+        if gate is not None:
+            raise ValueError("gate fold requires the Pallas kernel path")
         if seq_start is not None:
             from nsa_vibe_tpu.ops.varlen import selection_attention_varlen
 
@@ -388,8 +607,14 @@ def selection_attention(
         Qp = jnp.pad(Qp, ((0, 0), (0, pad_s), (0, 0), (0, 0), (0, 0)))
         sel_idx = jnp.pad(sel_idx, ((0, 0), (0, pad_s), (0, 0), (0, 0)),
                           constant_values=-1)
-    out = _sel_flash_vjp(l_sel, scale, interpret)(
-        sel_idx, _as_t0(pos_offset), Qp, K, V)
+        if gate is not None:
+            gate = jnp.pad(gate, ((0, 0), (0, pad_s), (0, 0)))
+    if gate is not None:
+        out = _sel_flash_vjp_gated(l_sel, scale, interpret)(
+            sel_idx, _as_t0(pos_offset), gate, Qp, K, V)
+    else:
+        out = _sel_flash_vjp(l_sel, scale, interpret)(
+            sel_idx, _as_t0(pos_offset), Qp, K, V)
     if pad_s:
         out = out[:, :S]
     return out[:, :, :, :h] if Qp.shape[3] != h else out

@@ -48,6 +48,18 @@ def stats_rows(S: int, h: int) -> int:
     return -(-S // STATS_ALIGN) * STATS_ALIGN * h
 
 
+def gate_rows_flat(g: jnp.ndarray, h: int) -> jnp.ndarray:
+    """Per-(b,t,grp) branch gate [B,S,G] -> lane-flat per-row stats
+    [B*G, 1, stats_rows(S,h)] f32 (row = t*h + head; same layout as
+    lse/delta, see stats_rows). Kernel epilogues multiply output rows by
+    this to emit the GATED branch output (gate-epilogue fold)."""
+    B, S, G = g.shape
+    flat = jnp.repeat(g.astype(jnp.float32).transpose(0, 2, 1), h, axis=-1)
+    flat = flat.reshape(B * G, 1, S * h)
+    pad = stats_rows(S, h) - S * h
+    return jnp.pad(flat, ((0, 0), (0, 0), (0, pad))) if pad else flat
+
+
 def _bounds_fn(mode: str, w: int, l: int, d: int):
     """Returns row_bounds(t, ds=None) -> (lo, hi) as traced int32
     arithmetic. `ds` = document start of row t (varlen/document-masked
@@ -103,13 +115,18 @@ def _flash_kernel(
     mode: str, w: int, l: int, d: int, scale: float,
     block_q: int, block_k: int, h: int, nk_grid: int, s_kv: int,
     return_lse: bool = False, varlen: bool = False,
-    scale_on_q: bool = True, fastpath: bool = True,
+    scale_on_q: bool = True, fastpath: bool = True, gated: bool = False,
 ):
     if varlen:
-        ds_tile_ref, q_ref, k_ref, v_ref, dsrow_ref, o_ref, *rest = refs
+        ds_tile_ref, q_ref, k_ref, v_ref, dsrow_ref, *refs = refs
     else:
         ds_tile_ref = dsrow_ref = None
-        q_ref, k_ref, v_ref, o_ref, *rest = refs
+        q_ref, k_ref, v_ref, *refs = refs
+    if gated:
+        g_ref, *refs = refs
+    else:
+        g_ref = None
+    o_ref, *rest = refs
     if return_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -226,6 +243,17 @@ def _flash_kernel(
         out = jnp.where(denom > 0, out, 0.0)
         Tq = o_ref.shape[1]
         Dv = o_ref.shape[4]
+        if gated:
+            # gate-epilogue fold: emit g*O directly (per flat row; g is
+            # the per-(b,t,grp) branch gate row-expanded over heads).
+            # The ungated O never reaches HBM; the backward recovers the
+            # gated delta as rowsum(dO*Y) and the gate-logit grad via the
+            # D-form softmax vjp (core.gate._softmax_dform) — no division
+            # by collapsing gates anywhere (see ops.attention gated vjps).
+            rows_g = block_q * h
+            g_lane = g_ref[0, 0, pl.dslice(qi * rows_g, rows_g)]
+            gt = jax.lax.transpose(g_lane.reshape(1, rows_g), (1, 0))
+            out = out * gt
         o_ref[0, :, 0] = out.reshape(Tq, h, Dv).astype(o_ref.dtype)
         if return_lse:
             # empty rows get +1e30 so backward's exp(logits - lse) == 0
@@ -275,6 +303,8 @@ def flash_banded(
     seq_start=None,           # [B, S] int32: per-row document starts (varlen)
     scale_on_q: Optional[bool] = None,   # None -> tuned("flash.scale_on_q")
     fastpath: Optional[bool] = None,     # None -> tuned("flash.fastpath_fwd"), default OFF
+    gate_rows=None,           # [B*G, 1, stats_rows(S,h)] f32: per-row branch
+                              # gate (gate-epilogue fold — emits g*O)
 ):
     """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
     flat row stats [B*G, 1, stats_rows(S, h)] f32 when return_lse
@@ -309,7 +339,7 @@ def flash_banded(
             Q, K, V, w=w, scale=scale,
             block_q=int(_tuned("win.diag_block_q", 256)),
             interpret=interpret, return_lse=return_lse, t_start=t_start,
-            seq_start=seq_start, scale_on_q=scale_on_q)
+            seq_start=seq_start, scale_on_q=scale_on_q, gate_rows=gate_rows)
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(S_kv, 8))
     t0 = _as_t0(t_start)
@@ -359,6 +389,7 @@ def flash_banded(
         block_q=block_q, block_k=block_k, h=h, nk_grid=nk, s_kv=S_kv,
         return_lse=return_lse, varlen=varlen,
         scale_on_q=scale_on_q, fastpath=fastpath,
+        gated=gate_rows is not None,
     )
     out_specs = pl.BlockSpec(
         (1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
@@ -391,6 +422,10 @@ def flash_banded(
         in_specs.append(pl.BlockSpec(
             (1, 1, block_q * h), lambda b, g, qi, ki, *_: (b, 0, qi),
             memory_space=pltpu.VMEM))
+    if gate_rows is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, stats_rows(S, h)), lambda b, g, qi, ki, *_: (b * G + g, 0, 0),
+            memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if varlen else 1,
         grid=(B, G, nq, nk),
@@ -402,7 +437,8 @@ def flash_banded(
             pltpu.VMEM((h * block_q, Dv), jnp.float32),
         ],
     )
-    args = operands + [Q, K, V] + ([ds_row] if varlen else [])
+    args = (operands + [Q, K, V] + ([ds_row] if varlen else [])
+            + ([gate_rows] if gate_rows is not None else []))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -44,6 +44,7 @@ def _diag_kernel(
     t0_ref, *refs,
     w: int, scale: float, block_q: int, h: int, KB: int, s_kv: int,
     return_lse: bool = False, varlen: bool = False, scale_on_q: bool = True,
+    gated: bool = False,
 ):
     if varlen:
         ds_tile_ref, q_ref = refs[0], refs[1]
@@ -55,6 +56,10 @@ def _diag_kernel(
         q_ref = refs[0]
         kv_refs = refs[1:1 + 2 * KB]
         outs = refs[1 + 2 * KB:]
+    if gated:
+        g_ref, outs = outs[0], outs[1:]
+    else:
+        g_ref = None
     k_refs, v_refs = kv_refs[:KB], kv_refs[KB:]
     o_ref = outs[0]
     lse_ref = outs[1] if return_lse else None
@@ -117,6 +122,10 @@ def _diag_kernel(
     out = pv / jnp.where(denom > 0, denom, 1.0)
     out = jnp.where(denom > 0, out, 0.0)
     Dv = o_ref.shape[4]
+    if gated:
+        # gate-epilogue fold (see flash._flash_kernel): emit g*O
+        gt = _load_stats(g_ref, qi * rows, rows)          # [rows, 1]
+        out = out * gt
     o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
     if return_lse:
         lse = jnp.where(denom > 0,
@@ -143,6 +152,7 @@ def flash_banded_diag(
     t_start=None,
     seq_start=None,
     scale_on_q=None,
+    gate_rows=None,           # [B*G,1,stats_rows] f32 (gate-epilogue fold)
 ):
     """Same contract as flash.flash_banded(mode="win") — O [B,S,G,h,Dv]
     (+ flat stats [B*G, 1, stats_rows(S, h)] when return_lse)."""
@@ -198,6 +208,10 @@ def flash_banded_diag(
         in_specs.append(pl.BlockSpec(
             (1, 1, rows), lambda b, g, qi, *_: (b, 0, qi),
             memory_space=pltpu.VMEM))
+    if gate_rows is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, stats_rows(S, h)), lambda b, g, qi, *_: (b * G + g, 0, 0),
+            memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2 if varlen else 1,
         grid=(B, G, nq),
@@ -208,14 +222,14 @@ def flash_banded_diag(
     kernel = functools.partial(
         _diag_kernel, w=w, scale=scale, block_q=block_q, h=h, KB=KB,
         s_kv=S_kv, return_lse=return_lse, varlen=varlen,
-        scale_on_q=scale_on_q)
-    args = operands + [Q, K, V]
+        scale_on_q=scale_on_q, gated=gate_rows is not None)
     # replicate K/V per band-tile operand (same-array aliasing is free —
     # the cost model sees KB windows into one HBM buffer)
     call_args = operands + [Q] + [K] * KB + [V] * KB
     if varlen:
         call_args.append(ds_row)
-    del args
+    if gate_rows is not None:
+        call_args.append(gate_rows)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape, interpret=interpret,
     )(*call_args)

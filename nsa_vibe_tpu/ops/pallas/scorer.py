@@ -309,7 +309,7 @@ def _select_cmp_kernel(
     scale: float, l: int, d: int, l_sel: int,
     n_top: int, n_forced: int, force_init: bool, force_local: int,
     block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
-    h_real=None, varlen: bool = False,
+    h_real=None, varlen: bool = False, gated: bool = False,
 ):
     """Fused Eq. 8-12 selection AND compressed-branch attention: both
     consume softmax(Q K_cmp^T) under the same prefix visibility, so one
@@ -321,13 +321,19 @@ def _select_cmp_kernel(
     varlen: see _scorer_kernel — the shared visibility gets the doc
     bound, so the O_cmp accumulator equals compressed_attention_varlen
     and the top-n restricts to the query's document."""
+    refs = list(refs)
     if varlen:
-        (q_ref, kc_ref, vc_ref, m_ref, dsrow_ref, dstok_ref,
-         o_sel_ref, o_cmp_ref, lse_ref, m_scr, l_scr, acc_slc, acc_o) = refs
+        q_ref, kc_ref, vc_ref, m_ref, dsrow_ref, dstok_ref = refs[:6]
+        refs = refs[6:]
     else:
-        (q_ref, kc_ref, vc_ref, m_ref, o_sel_ref, o_cmp_ref, lse_ref,
-         m_scr, l_scr, acc_slc, acc_o) = refs
+        q_ref, kc_ref, vc_ref, m_ref = refs[:4]
+        refs = refs[4:]
         dsrow_ref = dstok_ref = None
+    if gated:
+        g_ref, *refs = refs
+    else:
+        g_ref = None
+    (o_sel_ref, o_cmp_ref, lse_ref, m_scr, l_scr, acc_slc, acc_o) = refs
     qt = pl.program_id(2)
     c = pl.program_id(3)
     q = q_ref[0, :, 0]                                    # [Tq, h, Dk]
@@ -387,6 +393,12 @@ def _select_cmp_kernel(
         out = acc_o[:] / jnp.where(denom > 0, denom, 1.0)
         out = jnp.where(denom > 0, out, 0.0)
         Dv = o_cmp_ref.shape[4]
+        if gated:
+            # gate-epilogue fold (see flash._flash_kernel): emit g*O_cmp.
+            # Selection scores are unaffected (acc_slc path).
+            g_lane = g_ref[0, 0, pl.dslice(qt * rows, rows)]
+            gt = jax.lax.transpose(g_lane.reshape(1, rows), (1, 0))
+            out = out * gt
         o_cmp_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_cmp_ref.dtype)
         # base-2 lse (consumed by the exp2 flash backward kernels)
         lse = jnp.where(denom > 0,
@@ -429,6 +441,7 @@ def nsa_select_and_cmp_pallas(
     interpret: bool = False,
     h_real: "int | None" = None,
     seq_start: "jnp.ndarray | None" = None,
+    gate_rows: "jnp.ndarray | None" = None,  # [B*G,1,stats_rows] f32
 ):
     """Fused selection + compressed attention. Returns
     (sel_idx [B,S,G,max(n_top,n_forced)] i32 (see nsa_select_pallas),
@@ -459,6 +472,7 @@ def nsa_select_and_cmp_pallas(
         n_forced=n_forced, force_init=force_init, force_local=force_local,
         block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
         s_cmp=S_cmp, s_sel=S_sel, h_real=h_real, varlen=varlen,
+        gated=gate_rows is not None,
     )
     t0 = _as_t0(pos_offset)
     in_specs = [
@@ -484,6 +498,11 @@ def nsa_select_and_cmp_pallas(
                          memory_space=pltpu.VMEM),
         ]
         args += [ds_row, ds_tok]
+    if gate_rows is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, stats_rows(S, h)), lambda b, g, qt, c, *_: (b * G + g, 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(gate_rows)
     sel, O, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(

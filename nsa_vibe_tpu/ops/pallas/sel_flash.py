@@ -59,7 +59,7 @@ def _compact_active(tile_active: jnp.ndarray):
 def _sel_flash_kernel(
     order_ref, count_ref, t0_ref, q_ref, sel_ref, *rest,
     l_sel: int, scale: float, block_q: int, h: int, Jg: int, KB: int,
-    s_kv: int, return_lse: bool = False,
+    s_kv: int, return_lse: bool = False, gated: bool = False,
 ):
     """One grid step processes KB selection blocks: KB parallel K/V DMAs
     feed a single [Tq*h, KB*l_sel] matmul. With one block per step the
@@ -67,8 +67,12 @@ def _sel_flash_kernel(
     fixed cost and raises MXU occupancy."""
     k_refs = rest[:KB]
     v_refs = rest[KB:2 * KB]
-    o_ref = rest[2 * KB]
-    rest = rest[2 * KB + 1:]
+    rest = rest[2 * KB:]
+    if gated:
+        g_ref, *rest = rest
+    else:
+        g_ref = None
+    o_ref, *rest = rest
     if return_lse:
         lse_ref, m_scr, l_scr, acc_scr = rest
     else:
@@ -159,6 +163,9 @@ def _sel_flash_kernel(
         out = acc_scr[:] / jnp.where(denom > 0, denom, 1.0)
         out = jnp.where(denom > 0, out, 0.0)
         Dv = o_ref.shape[4]
+        if gated:
+            # gate-epilogue fold (see flash._flash_kernel): emit g*O
+            out = out * _load_stats(g_ref, qt * block_q * h, block_q * h)
         o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
         if return_lse:
             # base-2 lse (consumed by the exp2 backward kernels)
@@ -224,6 +231,7 @@ def selection_flash_pallas(
     interpret: bool = False,
     q_chunk: int = 4096,
     return_lse: bool = False,
+    gate_rows=None,        # [B*G,1,stats_rows(S,h)] f32 (gate-epilogue fold)
 ):
     """Returns O [B, S, G, h, Dv] (+ lse [B, G, S, h] f32 if return_lse)."""
     B, S, G, h, Dk = Q.shape
@@ -236,11 +244,15 @@ def selection_flash_pallas(
         selc = sel_idx.reshape(B, nchunk, q_chunk, G, n).transpose(1, 0, 2, 3, 4)
         outs, lses = [], []
         for i in range(nchunk):  # unrolled: pos_offset must be static per chunk
+            # per-chunk gate rows: global flat row t*h is contiguous per
+            # chunk; q_chunk is STATS_ALIGN-aligned so no re-padding
+            gc = (None if gate_rows is None else
+                  gate_rows[:, :, i * q_chunk * h:(i + 1) * q_chunk * h])
             r = selection_flash_pallas(
                 Qc[i], K, V, selc[i], l_sel=l_sel, scale=scale,
                 pos_offset=pos_offset + i * q_chunk, block_q=block_q,
                 kv_batch=kv_batch, interpret=interpret, q_chunk=q_chunk,
-                return_lse=return_lse,
+                return_lse=return_lse, gate_rows=gc,
             )
             if return_lse:
                 outs.append(r[0]); lses.append(r[1])
@@ -288,19 +300,25 @@ def selection_flash_pallas(
     sel_spec = pl.BlockSpec((1, 1, block_q, n),
                             lambda b, g, qt, j, *_: (b, g, qt, 0),
                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, block_q, 1, h, Dk),
+                     lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        sel_spec,
+        *[pl.BlockSpec((1, 1, l_sel, Dk), kv_index(i), memory_space=pltpu.VMEM)
+          for i in range(KB)],
+        *[pl.BlockSpec((1, 1, l_sel, Dv), kv_index(i), memory_space=pltpu.VMEM)
+          for i in range(KB)],
+    ]
+    if gate_rows is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, gate_rows.shape[2]),
+            lambda b, g, qt, j, *_: (b * G + g, 0, 0),
+            memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, G, nq, Jg),
-        in_specs=[
-            pl.BlockSpec((1, block_q, 1, h, Dk),
-                         lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            sel_spec,
-            *[pl.BlockSpec((1, 1, l_sel, Dk), kv_index(i), memory_space=pltpu.VMEM)
-              for i in range(KB)],
-            *[pl.BlockSpec((1, 1, l_sel, Dv), kv_index(i), memory_space=pltpu.VMEM)
-              for i in range(KB)],
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((h * block_q, 1), jnp.float32),
@@ -311,14 +329,18 @@ def selection_flash_pallas(
     kernel = functools.partial(
         _sel_flash_kernel, l_sel=l_sel, scale=scale, block_q=block_q,
         h=h, Jg=Jg, KB=KB, s_kv=S_kv, return_lse=return_lse,
+        gated=gate_rows is not None,
     )
     t0 = _as_t0(pos_offset)
+    args = [order, count, t0, Q, sel_arg, *([K] * KB), *([V] * KB)]
+    if gate_rows is not None:
+        args.append(gate_rows)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-    )(order, count, t0, Q, sel_arg, *([K] * KB), *([V] * KB))
+    )(*args)
 
 
 # --------------------------- backward kernels ---------------------------

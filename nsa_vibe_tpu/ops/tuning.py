@@ -99,6 +99,14 @@ DEFAULTS = {
     # unpadded fusion saves. Stays OFF; kept as the documented probe of
     # the tile-padding hypothesis.
     "nsa.flat_combine": 0,
+    # gate-epilogue fold (r5): branch kernels emit g*O directly; combine
+    # is a pure add and the gate-logit grad rides the delta preprocess
+    # (D-form softmax vjp, core.gate._softmax_dform) — removes the
+    # per-branch dg multiply_reduce fusions (~rowsum(dO*O) over padded
+    # [B,S,G,h,Dv] x3 per layer) from the backward. Numerics: gates stay
+    # f32 into the kernel epilogue (vs a bf16 cast + padded multiply
+    # outside) — same-ulp-class change as flash.scale_on_q.
+    "nsa.gate_fold": 0,
 }
 
 _TUNING_PATH = os.environ.get(
