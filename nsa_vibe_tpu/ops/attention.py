@@ -94,8 +94,10 @@ def fused_select_cmp(
                 _, dO = upstream
                 B, S, G = g.shape
                 D = _delta(dO, O)
-                dq, dk, dv = _bwd_impl()(Q, K, V, _gated_dO(dO, g), lse, D,
-                                         t_start=t0, seq_start=ds, **kwb)
+                dq, dk, dv = _bwd_impl()(Q, K, V, dO, lse, D,
+                                         t_start=t0, seq_start=ds,
+                                         gate_rows=gate_rows_flat(g, hp),
+                                         **kwb)
                 dg = _gate_cotangent(D, B, S, G, hp, g.dtype)
                 return (_int_cotangent(t0), _int_cotangent(ds), dg,
                         dq, dk, dv, jnp.zeros_like(M))
@@ -123,8 +125,9 @@ def fused_select_cmp(
             _, dO = upstream
             B, S, G = g.shape
             D = _delta(dO, O)
-            dq, dk, dv = _bwd_impl()(Q, K, V, _gated_dO(dO, g), lse, D,
-                                     t_start=t0, **kwb)
+            dq, dk, dv = _bwd_impl()(Q, K, V, dO, lse, D,
+                                     t_start=t0,
+                                     gate_rows=gate_rows_flat(g, hp), **kwb)
             dg = _gate_cotangent(D, B, S, G, hp, g.dtype)
             return (_int_cotangent(t0), dg, dq, dk, dv, jnp.zeros_like(M))
 
@@ -214,10 +217,6 @@ def _gate_cotangent(D: jnp.ndarray, B: int, S: int, G: int, h: int,
     return d.transpose(0, 2, 1).astype(dtype)
 
 
-def _gated_dO(dO: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
-    """dO_branch = gate * dO ([B,S,G,h,Dv] * [B,S,G]) — the branch-local
-    upstream for the (unchanged) backward kernels under the gate fold."""
-    return dO * g[..., None, None].astype(dO.dtype)
 
 
 def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
@@ -299,8 +298,11 @@ def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
         B, S, G, h, _ = Q.shape
         D = _delta(dO, Y)                       # gated delta == D-form carrier
         extra = {"seq_start": ds} if ds is not None else {}
-        dq, dk, dv = _bwd_impl()(Q, K, V, _gated_dO(dO, g), lse, D,
-                                 t_start=t0, **extra, **kwb)
+        # the one-pass kernel scales dO by g IN-REGISTER (gate_rows) —
+        # no [B,S,G,h,Dv] gated-dO materialization per branch
+        dq, dk, dv = _bwd_impl()(Q, K, V, dO, lse, D, t_start=t0,
+                                 gate_rows=gate_rows_flat(g, h),
+                                 **extra, **kwb)
         return _gate_cotangent(D, B, S, G, h, g.dtype), dq, dk, dv
 
     if varlen:
@@ -409,8 +411,9 @@ def _sel_flash_vjp_gated(l_sel: int, scale: float, interpret: bool):
                    else selection_flash_bwd)
         extra = {"q_chunk": kwb_chunk} if kwb_chunk else {}
         D = _delta(dO, Y)
-        dq, dk, dv = sel_bwd(Q, K, V, sel_idx, _gated_dO(dO, g), lse, D,
-                             pos_offset=t0, **kwb, **extra)
+        dq, dk, dv = sel_bwd(Q, K, V, sel_idx, dO, lse, D,
+                             pos_offset=t0,
+                             gate_rows=gate_rows_flat(g, h), **kwb, **extra)
         dg = _gate_cotangent(D, B, S, G, h, g.dtype)
         return (_int_cotangent(sel_idx), _int_cotangent(t0), dg, dq, dk, dv)
 

@@ -253,7 +253,7 @@ def _dkv_kernel(
 def _onepass_bwd_kernel(
     t0_ref, *refs,
     mode, w, l, d, scale, block_q, block_k, h, nq_grid, nq_total, s, s_kv,
-    varlen=False, scale_on_q=True, fastpath=True,
+    varlen=False, scale_on_q=True, fastpath=True, gated=False,
 ):
     """ONE-pass flash backward: kv-major grid (b, g, ki, qt). P/dS are
     computed ONCE per (kv-tile, q-tile) pair and feed all three products
@@ -272,13 +272,16 @@ def _onepass_bwd_kernel(
     Mosaic allocates the unrolled sub-iterations' temporaries
     simultaneously, so it never reduced peak VMEM, and the isolating
     control cost −7% e2e; see docs/KERNELS.md dead ends.)"""
+    refs = list(refs)
     if varlen:
-        (ds_tile_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dsrow_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+        ds_tile_ref = refs.pop(0)
     else:
-        ds_tile_ref = dsrow_ref = None
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-         dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+        ds_tile_ref = None
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref = refs[:6]
+    refs = refs[6:]
+    g_ref = refs.pop(0) if gated else None
+    dsrow_ref = refs.pop(0) if varlen else None
+    (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
     b = pl.program_id(0)
     ki = pl.program_id(2)
     qi_rel = pl.program_id(3)
@@ -375,6 +378,13 @@ def _onepass_bwd_kernel(
             if not full_q:
                 do = jnp.where(rowv[:, :, None], do, 0)
             dof = do.reshape(rows, Dv)
+            if gated:
+                # gate fold: the branch upstream is g*dO — scale the dO
+                # tile in-register (replaces the XLA-materialized
+                # [B,S,G,h,Dv] dO_branch per branch; delta is the GATED
+                # delta D = rowsum(dO*Y), passed in unchanged)
+                gt = _load_stats(g_ref, qt * rows, rows)
+                dof = (dof * gt).astype(do.dtype)
             delta_raw = _load_stats(delta_ref, qt * rows, rows)
             delta = delta_raw if full_q else (
                 jnp.where(rowvf, delta_raw, jnp.float32(0.0)))
@@ -393,6 +403,9 @@ def _onepass_bwd_kernel(
             lse = _load_stats(lse_ref, qt * rows, rows)
             delta = _load_stats(delta_ref, qt * rows, rows)
             dof = do_ref[0, :, 0].reshape(rows, do_ref.shape[4])
+            if gated:
+                gt = _load_stats(g_ref, qt * rows, rows)
+                dof = (dof * gt).astype(do_ref.dtype)
             _body(qf, qs, post, dof, lse, delta,
                   sanitize_kv=False, bounds_rows=None)
 
@@ -433,6 +446,15 @@ def _onepass_bwd_kernel(
         dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _apply_gate_dense(dO, gate_rows, h):
+    """Fallback for paths without in-kernel gating: materialize the
+    gated upstream g*dO from the flat gate rows (same values the gated
+    kernel computes in-register)."""
+    B, S, G = dO.shape[0], dO.shape[1], dO.shape[2]
+    g = gate_rows[:, 0, :S * h].reshape(B, G, S, h).transpose(0, 2, 1, 3)
+    return (dO * g[..., None]).astype(dO.dtype)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
@@ -442,7 +464,7 @@ def flash_banded_bwd_onepass(
     Q, K, V, dO, lse, delta,
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=512,
     interpret=False, t_start=None, seq_start=None,
-    scale_on_q=None, fastpath=None,
+    scale_on_q=None, fastpath=None, gate_rows=None,
 ):
     """One-pass backward (see _onepass_bwd_kernel). Same contract as
     flash_banded_bwd. The dq scratch is [nslots*rows, Dk] f32 — sequences
@@ -464,6 +486,8 @@ def flash_banded_bwd_onepass(
         # q-tile, exact band fetch, dK/dV via scatter-added strips
         from nsa_vibe_tpu.ops.pallas.flash_diag import flash_banded_bwd_diag
 
+        if gate_rows is not None:   # diag bwd has no in-kernel gating
+            dO = _apply_gate_dense(dO, gate_rows, Q.shape[3])
         return flash_banded_bwd_diag(
             Q, K, V, dO, lse, delta, w=w, scale=scale,
             block_q=int(tuned("win.bwd_diag_block_q", 128)),
@@ -502,6 +526,7 @@ def flash_banded_bwd_onepass(
                 t_start=t0_base + i * q_chunk,
                 seq_start=None if seq_start is None else seq_start[:, sl],
                 scale_on_q=scale_on_q, fastpath=fastpath,
+                gate_rows=None if gate_rows is None else gate_rows[:, :, slh],
             )
             dqs.append(dq_i)
             dk_total = dk_total + dk_i.astype(jnp.float32)
@@ -524,6 +549,8 @@ def flash_banded_bwd_onepass(
         nq_inner = nq
         nslots = nq                      # prefix mode: all tiles in flight
         if l - 1 >= block_q:             # would break first_ki == 0 (cmp)
+            if gate_rows is not None:    # two-pass bwd has no in-kernel gating
+                dO = _apply_gate_dense(dO, gate_rows, h)
             return flash_banded_bwd(
                 Q, K, V, dO, lse, delta, mode=mode, w=w, l=l, d=d, scale=scale,
                 block_q=block_q, block_k=block_k, interpret=interpret,
@@ -554,6 +581,8 @@ def flash_banded_bwd_onepass(
                      memory_space=pltpu.VMEM),
         do_spec, stat_spec, stat_spec,
     ]
+    if gate_rows is not None:
+        in_specs.append(stat_spec)
     if varlen:
         in_specs.append(pl.BlockSpec(
             (1, 1, rows),
@@ -573,7 +602,7 @@ def flash_banded_bwd_onepass(
                           scale=scale, block_q=block_q, block_k=block_k, h=h,
                           nq_grid=nq_inner, nq_total=nq, s=S, s_kv=S_kv,
                           varlen=varlen, scale_on_q=scale_on_q,
-                          fastpath=fastpath),
+                          fastpath=fastpath, gated=gate_rows is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nk_total, nq_inner),
@@ -592,6 +621,7 @@ def flash_banded_bwd_onepass(
         ],
         interpret=interpret,
     )(*([t0, ds_tile] if varlen else [t0]), Q, K, V, dO, lse, delta,
+      *([gate_rows] if gate_rows is not None else []),
       *([ds_row] if varlen else []))
     return dq, dk, dv
 
@@ -604,15 +634,19 @@ def flash_banded_bwd_onepass(
 def flash_banded_bwd(
     Q, K, V, dO, lse, delta,
     *, mode, w=0, l=0, d=1, scale=1.0, block_q=128, block_k=128, interpret=False,
-    t_start=None, seq_start=None, scale_on_q=None,
+    t_start=None, seq_start=None, scale_on_q=None, gate_rows=None,
 ):
     """lse/delta: flat [B*G, 1, stats_rows(S, h)] float32 (row = t*h + head).
     Returns (dQ, dK, dV). `t_start`: traced global position of row 0
     (sequence-sharded / chunked prefill). `seq_start` [B,S]: per-row
-    document starts (varlen batching; see flash_banded)."""
+    document starts (varlen batching; see flash_banded). `gate_rows`:
+    gate fold — this two-pass kernel pre-scales dO in XLA (no in-kernel
+    gating; the tuned path is the one-pass kernel)."""
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands
     from nsa_vibe_tpu.ops.tuning import tuned
 
+    if gate_rows is not None:
+        dO = _apply_gate_dense(dO, gate_rows, Q.shape[3])
     if scale_on_q is None:
         scale_on_q = bool(tuned("flash.scale_on_q"))
     B, S, G, h, Dk = Q.shape

@@ -518,11 +518,17 @@ def _sel_dkv_kernel(
 def selection_flash_bwd(
     Q, K, V, sel_idx, dO, lse, delta,
     *, l_sel, scale, pos_offset=0, block_q=128, kv_batch=8, interpret=False,
-    q_chunk=4096,
+    q_chunk=4096, gate_rows=None,
 ):
     """Backward of selection_flash_pallas. lse/delta: row-flat
     [B*G, 1, stats_rows(S, h)] f32 (row = t*h + head). Returns (dQ, dK, dV); dK/dV
-    accumulate across q-chunks."""
+    accumulate across q-chunks. gate_rows: gate fold — this two-pass
+    variant pre-scales dO in XLA (the tuned path is the one-pass kernel
+    with in-register gating)."""
+    if gate_rows is not None:
+        from nsa_vibe_tpu.ops.pallas.flash_bwd import _apply_gate_dense
+
+        dO = _apply_gate_dense(dO, gate_rows, Q.shape[3])
     B, S, G, h, Dk = Q.shape
     S_kv, Dv = K.shape[2], V.shape[3]
     n = sel_idx.shape[-1]
@@ -684,8 +690,8 @@ def _onepass_vmem_est(block_q, h, KB, l_sel, nq, Dk, Dv) -> int:
 
 def _sel_onepass_bwd_kernel(
     orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref,
-    lse_ref, delta_ref, dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr,
-    *, l_sel, scale, block_q, h, NQ, KB, s_kv, s, kv_full,
+    lse_ref, delta_ref, *rest,
+    l_sel, scale, block_q, h, NQ, KB, s_kv, s, kv_full, gated=False,
 ):
     """kv-major ONE-pass backward: P/dS computed once per
     (kv-tile-group, q-tile) pair feed dV/dK (resident scratch) AND dQ
@@ -697,6 +703,9 @@ def _sel_onepass_bwd_kernel(
     Mosaic allocates the unrolled sub-iterations' temporaries
     simultaneously, so it never reduced peak VMEM, and the flash control
     cost −7% e2e — docs/KERNELS.md dead ends.)"""
+    rest = list(rest)
+    g_ref = rest.pop(0) if gated else None
+    (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = rest
     b = pl.program_id(0)
     g = pl.program_id(1)
     jg = pl.program_id(2)
@@ -736,6 +745,11 @@ def _sel_onepass_bwd_kernel(
         Dv = do.shape[2]
         do_z = do if full_q else jnp.where(rowv[:, :, None], do, 0)
         dof = do_z.reshape(rows, Dv)
+        if gated:
+            # gate fold: branch upstream is g*dO, scaled in-register
+            # (see flash_bwd._onepass_bwd_kernel; delta is the gated D)
+            gt = _load_stats(g_ref, qt * rows, rows)
+            dof = (dof * gt).astype(do.dtype)
         delta_raw = _load_stats(delta_ref, qt * rows, rows)
         delta = delta_raw if full_q else jnp.where(rowvf, delta_raw,
                                                    jnp.float32(0.0))
@@ -796,7 +810,7 @@ def _sel_onepass_bwd_kernel(
 def selection_flash_bwd_onepass(
     Q, K, V, sel_idx, dO, lse, delta,
     *, l_sel, scale, pos_offset=0, block_q=128, kv_batch=8, interpret=False,
-    q_chunk=2048,
+    q_chunk=2048, gate_rows=None,
 ):
     """One-pass variant of selection_flash_bwd (same contract). The dq
     scratch holds ALL q-tiles of a chunk ([S*h, Dk] f32), so the default
@@ -821,6 +835,7 @@ def selection_flash_bwd_onepass(
                 l_sel=l_sel, scale=scale, pos_offset=pos_offset + i * q_chunk,
                 block_q=block_q, kv_batch=kv_batch, interpret=interpret,
                 q_chunk=q_chunk,
+                gate_rows=None if gate_rows is None else gate_rows[:, :, slh],
             )
             dqs.append(dq_i)
             dk_total = dk_total + dk_i.astype(jnp.float32)
@@ -875,7 +890,8 @@ def selection_flash_bwd_onepass(
     dq, dk, dv = pl.pallas_call(
         functools.partial(_sel_onepass_bwd_kernel, l_sel=l_sel, scale=scale,
                           block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv, s=S,
-                          kv_full=KV_pad == S_kv),
+                          kv_full=KV_pad == S_kv,
+                          gated=gate_rows is not None),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, G, Jg, nq),
@@ -894,7 +910,7 @@ def selection_flash_bwd_onepass(
                              lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
                              memory_space=pltpu.VMEM),
                 stat_spec, stat_spec,
-            ],
+            ] + ([stat_spec] if gate_rows is not None else []),
             out_specs=[
                 pl.BlockSpec((1, block_q, 1, h, Dk),
                              lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
@@ -918,7 +934,8 @@ def selection_flash_bwd_onepass(
             jax.ShapeDtypeStruct(V_p.shape, V.dtype),
         ],
         interpret=interpret,
-    )(order_q, count_q, t0, Q, sel_arg, K_p, V_p, dO, lse, delta)
+    )(order_q, count_q, t0, Q, sel_arg, K_p, V_p, dO, lse, delta,
+      *([gate_rows] if gate_rows is not None else []))
     if KV_pad != S_kv:
         dk = dk[:, :, :S_kv]
         dv = dv[:, :, :S_kv]

@@ -32,8 +32,12 @@ Design (idiomatic SPMD pipelining, cf. the public scaling-book recipe):
     so the shard_map weight slice IS the local groups — plus 1/tp of the
     MLP hidden; one psum over tp per sub-block completes the partial
     W_O / down-proj products, and the shard_map transpose psums the
-    replicated leaves' grads across tp, verified exact). sp and tp in
-    the SAME pp mesh is the one rejected combination.
+    replicated leaves' grads across tp, verified exact). pp×sp×tp —
+    all three in one mesh (the >350M long-context pod config) — composes
+    the two: each tp member runs its local kv groups sequence-sharded
+    over sp (K/V sp-gathers move only local groups), then one tp psum
+    per sub-block; parity-tested on the 8-device mesh
+    (tests/test_pipeline.py::test_pp_sp_tp_*).
 
 Bubble fraction is (pp-1)/(M+pp-1) for M microbatches per step; M
 defaults to the accumulated batch's natural split (tcfg.pp_microbatches
@@ -227,18 +231,27 @@ def _pipeline_local(params, toks, mcfg: ModelConfig, M: int, pp: int,
                 bp, fsdp_axes)
         if cp is not None:
             # sequence-sharded pre-norm residual block (mirrors
-            # context.context_parallel_model_forward's run_block)
+            # context.context_parallel_model_forward's run_block). With
+            # tp > 1 on top (pp×sp×tp — the >350M long-context pod
+            # config), cfg is already tp-local (G/tp kv groups), so the
+            # cp-local attention's combine produces the PARTIAL W_O
+            # product over local heads and its K/V sp-gathers move only
+            # the local groups; one psum over tp completes each
+            # sub-block, exactly as in the pure pp×tp path below.
             a = nsa_attention_cp_local(
                 bp["attn"], rmsnorm(x, bp["attn_norm"], mcfg.rmsnorm_eps),
                 cfg, cp["axis"], S, cp["S_cmp"], cp["S_sel"], cp["M_csl"],
                 cp["impl"], cp["interpret"], collect_aux=collect_aux,
                 seq_start_full=ss)
             a, aux = a if collect_aux else (a, None)
+            if tp > 1:
+                a = jax.lax.psum(a, "tp")
             y = x + a.astype(x.dtype)
             mlp_fn = jax.checkpoint(mlp) if mcfg.remat == "mlp" else mlp
-            y = (y + mlp_fn(bp["mlp"],
-                            rmsnorm(y, bp["mlp_norm"], mcfg.rmsnorm_eps))
-                 ).astype(x.dtype)
+            m = mlp_fn(bp["mlp"], rmsnorm(y, bp["mlp_norm"], mcfg.rmsnorm_eps))
+            if tp > 1:
+                m = jax.lax.psum(m, "tp")
+            y = (y + m).astype(x.dtype)
         elif tp > 1:
             # tensor-sharded pre-norm residual block: local-group
             # attention partial + psum, local-hidden MLP partial + psum
@@ -370,9 +383,6 @@ def pipeline_model_loss(
     tp = mesh.shape.get("tp", 1)
     sp = mesh.shape.get("sp", 1)
     if tp > 1:
-        if sp > 1:
-            raise ValueError("pp x sp x tp in one mesh is not supported "
-                             "(compose pp with either sp or tp)")
         cfg_ = mcfg.nsa
         hidden = int(cfg_.dim * mcfg.mlp_ratio)
         if cfg_.n_kv_groups % tp != 0 or hidden % tp != 0:

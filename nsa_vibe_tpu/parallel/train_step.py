@@ -62,9 +62,6 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig, mesh=None):
     optimizer = make_optimizer(tcfg)
     use_pp = mesh is not None and tcfg.pp > 1
     use_cp = mesh is not None and tcfg.sp > 1 and not use_pp
-    if use_pp and tcfg.tp > 1 and tcfg.sp > 1:
-        raise ValueError("pp composes with dp/fsdp/varlen and with sp OR tp, "
-                         "not both sp and tp in one mesh")
     if mesh is not None:
         for name, want in (("sp", tcfg.sp), ("pp", tcfg.pp), ("tp", tcfg.tp)):
             have = mesh.shape.get(name, 1)

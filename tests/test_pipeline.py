@@ -494,3 +494,68 @@ def test_pp_tp_fsdp_varlen():
                                          seq_start=ds, loss_mask=lm)[0]
     )(stacked, toks))
     assert abs(got - ref) < 1e-5, (got, ref)
+
+
+def test_pp_sp_tp_loss_matches_single_device():
+    """pp x sp x tp — all three in one mesh (the >350M long-context pod
+    configuration): each tp member runs its G/tp local kv groups
+    sequence-sharded over sp; loss equals the single-device oracle."""
+    params, toks = _setup()
+    mesh = make_mesh(dp=1, pp=2, sp=2, tp=2, devices=jax.devices()[:8])
+    ref = float(jax.jit(_ref_loss)(params, toks))
+    got = float(jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2)[0]
+    )(stack_blocks(params), toks))
+    assert abs(got - ref) < 1e-5, (got, ref)
+
+
+def test_pp_sp_tp_gradients_match():
+    """pp=2 x sp=2 x tp=2 grads == single-device grads for EVERY leaf
+    (tp-sharded projections, sp-gathered K/V transposes, and the
+    tp/sp-replicated leaves' psum'd cotangents)."""
+    params, toks = _setup()
+    mesh = make_mesh(dp=1, pp=2, sp=2, tp=2, devices=jax.devices()[:8])
+    g_ref = jax.jit(jax.grad(_ref_loss))(params, toks)
+    g_pp = jax.jit(jax.grad(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2)[0]
+    ))(stack_blocks(params), toks)
+    g_pp = unstack_blocks(g_pp, MCFG.n_layers)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves(g_pp),
+    ):
+        mae = float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        scale = float(jnp.abs(jnp.asarray(a)).max()) + 1e-8
+        assert mae / scale < 1e-4, (jax.tree_util.keystr(path), mae, scale)
+
+
+def test_pp_sp_tp_collect_aux_and_varlen():
+    """pp x sp x tp with varlen packing + aux collection: loss matches
+    the varlen oracle and the gate/sel observability reassembles to the
+    full [L,B,S,G,*] contract across BOTH the sp (rows) and tp (groups)
+    axes."""
+    S = 64
+    params, toks = _setup(B=4, S=S)
+    ds_np = np.zeros((4, S), np.int32)
+    ds_np[:, 32:] = 32                      # l_sel-aligned doc boundary
+    ds = jnp.asarray(ds_np)
+    lm = jnp.ones((4, S), jnp.float32)
+
+    def ref_loss_aux(p, t):
+        logits, auxes = model_forward(p, t[:, :-1], MCFG, seq_start=ds,
+                                      collect_aux=True)
+        return (cross_entropy_loss(logits, t[:, 1:], mask=lm),
+                jnp.stack([a["gates"] for a in auxes]).astype(jnp.float32),
+                jnp.stack([a["sel_idx"] for a in auxes]))
+
+    ref, gates_ref, sel_ref = jax.jit(ref_loss_aux)(params, toks)
+    mesh = make_mesh(dp=1, pp=2, sp=2, tp=2, devices=jax.devices()[:8])
+    loss, (gates, sel) = jax.jit(
+        lambda p, t: pipeline_model_loss(p, t, MCFG, mesh, microbatches=2,
+                                         collect_aux=True,
+                                         seq_start=ds, loss_mask=lm)
+    )(stack_blocks(params), toks)
+    assert abs(float(loss) - float(ref)) < 1e-5
+    assert gates.shape == gates_ref.shape
+    np.testing.assert_array_equal(np.asarray(sel), np.asarray(sel_ref))
+    assert float(jnp.abs(gates - gates_ref).max()) < 1e-5
