@@ -199,6 +199,12 @@ VARIANTS += [
     # into the kernel epilogue) — its loss is its own gate, validated by
     # tests/test_gate_fold.py gradient parity.
     ("gate-fold", {"nsa.gate_fold": 1}),
+    # r5: fold + flat-IO — branch kernels emit Y in the unpadded
+    # [B,S,H*Dv] layout (per-head 64-aligned lane stores; the 5-D
+    # (6,64)-minor layout is T(8,128) tile-padded to 2.67x physical HBM
+    # bytes) and the backwards consume flat dO via an f32 scratch
+    # conversion; the combine feeds W_O with no reshape.
+    ("gate-fold-flat", {"nsa.gate_fold": 1, "nsa.flat_io": 1}),
 ]
 
 

@@ -224,6 +224,14 @@ def nsa_prefill(
     # standard (constant-gate) combine.
     use_fold = (impl == "pallas" and bool(tuned("nsa.gate_fold", 0))
                 and cfg.force_branch is None and not cfg.force_uniform_gate)
+    # flat-IO (with the fold): branch kernels emit Y in the UNPADDED
+    # [B, S, H*Dv] layout — the 5-D [.., h, Dv] (6,64) minor pair is
+    # T(8,128) tile-padded to 2.67x physical HBM bytes at m7c shapes, on
+    # every O write, dO read and combine fusion. The combine then feeds
+    # W_O with no reshape at all. Requires even heads-per-group (odd h
+    # pads a zero head whose flat slice-off would relayout).
+    use_flat = (use_fold and bool(tuned("nsa.flat_io", 0))
+                and (h % 2 == 0 or h == 1))
     gates_fold = None
     if use_fold:
         from nsa_vibe_tpu.core.gate import gate_probs_dform
@@ -252,6 +260,7 @@ def nsa_prefill(
                 n_top=cfg.n_sel, force_init=cfg.force_init,
                 force_local=cfg.force_local, t_start=pos_offset,
                 seq_start=seq_start, interpret=interpret, gate=g_cmp,
+                flat=use_flat,
             )
         elif varlen:
             from nsa_vibe_tpu.ops.varlen import (
@@ -291,6 +300,7 @@ def nsa_prefill(
                 Q, K_cmp, V_cmp, num_cmp_t, cfg.l, cfg.d, scale, kernel=cfg.kernel,
                 t_start=pos_offset, seq_start=seq_start, t_pos=t_pos,
                 gate=(g_cmp if use_fold and S_cmp > 0 else None),
+                flat=use_flat,
             )
             if use_fold and S_cmp == 0:
                 # zero cmp branch: gated output is still zero, but the
@@ -302,18 +312,23 @@ def nsa_prefill(
         O_sel = attn_ops.selection_attention(
             Q, K_sel, V_sel, sel_idx, t_pos, cfg.l_sel, scale, kernel=cfg.kernel,
             pos_offset=pos_offset, seq_start=seq_start, gate=g_sel,
+            flat=use_flat,
         )
     with jax.named_scope("nsa.branch_win"):
         O_win = attn_ops.sliding_window_attention(
             Q, K_win, V_win, t_pos, cfg.w, scale, kernel=cfg.kernel,
             t_start=pos_offset, seq_start=seq_start, gate=g_win,
+            flat=use_flat,
         )
 
     with jax.named_scope("nsa.gate_out"):
         if use_fold:
             # branches are pre-gated: combine is a pure add + projection
             O = O_cmp + O_sel + O_win
-            out = O.reshape(B, S, cfg.n_heads * cfg.d_v) @ params["W_O"]
+            if use_flat:
+                out = O @ params["W_O"]       # already [B, S, H*Dv], no reshape
+            else:
+                out = O.reshape(B, S, cfg.n_heads * cfg.d_v) @ params["W_O"]
             # aux gates are DETACHED: their grad contract is the D-form
             # (only the gated-branch vjps may produce their cotangents)
             gates = jax.lax.stop_gradient(gates_fold)

@@ -46,7 +46,7 @@ from nsa_vibe_tpu.ops.tuning import tuned
 def fused_select_cmp(
     Q, K_cmp, V_cmp, M, *, scale: float, l: int, d: int, l_sel: int,
     n_top: int, force_init: bool, force_local: int, t_start=None,
-    seq_start=None, interpret: bool = False, gate=None,
+    seq_start=None, interpret: bool = False, gate=None, flat: bool = False,
 ):
     """Fused Eq. 8-12 selection + compressed-branch attention
     (ops.pallas.scorer.nsa_select_and_cmp_pallas) with the analytical
@@ -74,6 +74,8 @@ def fused_select_cmp(
 
     if gate is not None:
         hp = Q.shape[3]
+        assert not flat or hp == h, "flat-IO requires no odd-head padding"
+        kwf["flat_out"] = flat
 
         if seq_start is not None:
             @jax.custom_vjp
@@ -93,7 +95,7 @@ def fused_select_cmp(
                 t0, ds, g, Q, K, V, O, lse = res
                 _, dO = upstream
                 B, S, G = g.shape
-                D = _delta(dO, O)
+                D = _delta(dO, O, G, hp)
                 dq, dk, dv = _bwd_impl()(Q, K, V, dO, lse, D,
                                          t_start=t0, seq_start=ds,
                                          gate_rows=gate_rows_flat(g, hp),
@@ -124,7 +126,7 @@ def fused_select_cmp(
             t0, g, Q, K, V, O, lse = res
             _, dO = upstream
             B, S, G = g.shape
-            D = _delta(dO, O)
+            D = _delta(dO, O, G, hp)
             dq, dk, dv = _bwd_impl()(Q, K, V, dO, lse, D,
                                      t_start=t0,
                                      gate_rows=gate_rows_flat(g, hp), **kwb)
@@ -187,17 +189,30 @@ def _bwd_impl():
     return flash_banded_bwd_onepass if tuned("bwd.onepass", 1) else flash_banded_bwd
 
 
-def _delta(dO: jnp.ndarray, O: jnp.ndarray) -> jnp.ndarray:
-    """rowsum(dO * O) in the flat [B*G, 1, stats_rows(S, h)] stats layout
-    (see ops.pallas.flash.stats_rows — the [.., S*h, 1] form is 128x
-    tile-padded on TPU)."""
+def _pack_stats(d: jnp.ndarray) -> jnp.ndarray:
+    """[B,S,G,h] per-row values -> the flat [B*G, 1, stats_rows(S, h)]
+    stats layout (see ops.pallas.flash.stats_rows — the [.., S*h, 1]
+    form is 128x tile-padded on TPU)."""
     from nsa_vibe_tpu.ops.pallas.flash import stats_rows
 
-    d = jnp.sum(dO.astype(jnp.float32) * O.astype(jnp.float32), axis=-1)  # [B,S,G,h]
     B, S, G, h = d.shape
     flat = d.transpose(0, 2, 1, 3).reshape(B * G, 1, S * h)
     pad = stats_rows(S, h) - S * h
     return jnp.pad(flat, ((0, 0), (0, 0), (0, pad))) if pad else flat
+
+
+def _delta(dO: jnp.ndarray, O: jnp.ndarray, G: int = 0, h: int = 0) -> jnp.ndarray:
+    """rowsum(dO * O) in the flat stats layout. 5-D [B,S,G,h,Dv] inputs,
+    or (flat-IO) 3-D [B,S,G*h*Dv] inputs with G/h given — the product is
+    computed on the UNPADDED flat operands, only the tiny [B,S,G,h]
+    reduce output touches the padded layout class."""
+    prod = dO.astype(jnp.float32) * O.astype(jnp.float32)
+    if dO.ndim == 3:
+        B, S, F = prod.shape
+        d = prod.reshape(B, S, G, h, F // (G * h)).sum(-1)
+    else:
+        d = prod.sum(-1)                                   # [B,S,G,h]
+    return _pack_stats(d)
 
 
 def _int_cotangent(x):
@@ -278,7 +293,8 @@ def _flash_vjp(mode: str, w: int, l: int, d: int, scale: float, interpret: bool,
 
 
 def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
-                     interpret: bool, varlen: bool = False):
+                     interpret: bool, varlen: bool = False,
+                     flat: bool = False):
     """Gate-epilogue fold variant of _flash_vjp: the kernel emits the
     GATED branch output Y = g*O (g [B,S,G] f32 is a differentiable
     argument), and the backward needs no extra reduce — the delta
@@ -296,7 +312,7 @@ def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
 
     def _bwd_common(t0, ds, g, Q, K, V, Y, lse, dO):
         B, S, G, h, _ = Q.shape
-        D = _delta(dO, Y)                       # gated delta == D-form carrier
+        D = _delta(dO, Y, G, h)                 # gated delta == D-form carrier
         extra = {"seq_start": ds} if ds is not None else {}
         # the one-pass kernel scales dO by g IN-REGISTER (gate_rows) —
         # no [B,S,G,h,Dv] gated-dO materialization per branch
@@ -310,12 +326,14 @@ def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
         def fv(t0, ds, g, Q, K, V):
             h = Q.shape[3]
             return flash_banded(Q, K, V, t_start=t0, seq_start=ds,
-                                gate_rows=gate_rows_flat(g, h), **kw)
+                                gate_rows=gate_rows_flat(g, h),
+                                flat_out=flat, **kw)
 
         def fwdv(t0, ds, g, Q, K, V):
             h = Q.shape[3]
             Y, lse = flash_banded(Q, K, V, t_start=t0, seq_start=ds,
                                   gate_rows=gate_rows_flat(g, h),
+                                  flat_out=flat,
                                   return_lse=True, **kw)
             return Y, (t0, ds, g, Q, K, V, Y, lse)
 
@@ -331,12 +349,14 @@ def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
     def f(t0, g, Q, K, V):
         h = Q.shape[3]
         return flash_banded(Q, K, V, t_start=t0,
-                            gate_rows=gate_rows_flat(g, h), **kw)
+                            gate_rows=gate_rows_flat(g, h),
+                            flat_out=flat, **kw)
 
     def fwd(t0, g, Q, K, V):
         h = Q.shape[3]
         Y, lse = flash_banded(Q, K, V, t_start=t0,
                               gate_rows=gate_rows_flat(g, h),
+                              flat_out=flat,
                               return_lse=True, **kw)
         return Y, (t0, g, Q, K, V, Y, lse)
 
@@ -379,7 +399,8 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
     return f
 
 
-def _sel_flash_vjp_gated(l_sel: int, scale: float, interpret: bool):
+def _sel_flash_vjp_gated(l_sel: int, scale: float, interpret: bool,
+                         flat: bool = False):
     """Gate-epilogue fold variant of _sel_flash_vjp (see
     _flash_vjp_gated for the gradient contract)."""
     from nsa_vibe_tpu.ops.pallas.flash import gate_rows_flat
@@ -394,12 +415,14 @@ def _sel_flash_vjp_gated(l_sel: int, scale: float, interpret: bool):
     def f(sel_idx, t0, g, Q, K, V):
         h = Q.shape[3]
         return selection_flash_pallas(Q, K, V, sel_idx, pos_offset=t0,
-                                      gate_rows=gate_rows_flat(g, h), **kw)
+                                      gate_rows=gate_rows_flat(g, h),
+                                      flat_out=flat, **kw)
 
     def fwd(sel_idx, t0, g, Q, K, V):
         h = Q.shape[3]
         Y, lse = selection_flash_pallas(Q, K, V, sel_idx, pos_offset=t0,
                                         gate_rows=gate_rows_flat(g, h),
+                                        flat_out=flat,
                                         return_lse=True, **kw)
         return Y, (sel_idx, t0, g, Q, K, V, Y, lse)
 
@@ -410,7 +433,7 @@ def _sel_flash_vjp_gated(l_sel: int, scale: float, interpret: bool):
                    if tuned("sel.bwd_onepass", tuned("bwd.onepass", 1))
                    else selection_flash_bwd)
         extra = {"q_chunk": kwb_chunk} if kwb_chunk else {}
-        D = _delta(dO, Y)
+        D = _delta(dO, Y, G, h)
         dq, dk, dv = sel_bwd(Q, K, V, sel_idx, dO, lse, D,
                              pos_offset=t0,
                              gate_rows=gate_rows_flat(g, h), **kwb, **extra)
@@ -475,7 +498,7 @@ def _with_ref_vjp(pallas_fn: Callable, ref_fn: Callable):
 def sliding_window_attention(
     Q: jnp.ndarray, K: jnp.ndarray, V: jnp.ndarray,
     t_pos: jnp.ndarray, w: int, scale: float, kernel: str = "auto",
-    t_start=None, seq_start=None, gate=None,
+    t_start=None, seq_start=None, gate=None, flat: bool = False,
 ) -> jnp.ndarray:
     """t_start: global position of query row 0 (int or traced scalar) —
     required by the Pallas path when t_pos does not start at 0 (sequence
@@ -497,12 +520,14 @@ def sliding_window_attention(
 
     Qp, h = _pad_odd_heads(Q)
     if gate is not None:
+        assert not flat or Qp.shape[3] == h, "flat-IO requires even h"
         if seq_start is not None:
             out = _flash_vjp_gated("win", w, 0, 1, scale, interpret,
-                                   varlen=True)(
+                                   varlen=True, flat=flat)(
                 _as_t0(t_start), seq_start.astype(jnp.int32), gate, Qp, K, V)
         else:
-            out = _flash_vjp_gated("win", w, 0, 1, scale, interpret)(
+            out = _flash_vjp_gated("win", w, 0, 1, scale, interpret,
+                                   flat=flat)(
                 _as_t0(t_start), gate, Qp, K, V)
     elif seq_start is not None:
         out = _flash_vjp("win", w, 0, 1, scale, interpret, varlen=True)(
@@ -515,7 +540,7 @@ def sliding_window_attention(
 def compressed_attention(
     Q: jnp.ndarray, K_cmp: jnp.ndarray, V_cmp: jnp.ndarray,
     num_cmp_t: jnp.ndarray, l: int, d: int, scale: float, kernel: str = "auto",
-    t_start=None, seq_start=None, t_pos=None, gate=None,
+    t_start=None, seq_start=None, t_pos=None, gate=None, flat: bool = False,
 ) -> jnp.ndarray:
     """seq_start [B,S] + t_pos [S] enable varlen (document-masked) mode:
     pooled windows are visible iff fully inside the query's document.
@@ -524,6 +549,8 @@ def compressed_attention(
     if K_cmp.shape[2] == 0:
         # no compressed tokens yet (S < l): the branch contributes zeros
         B, S, G, h, _ = Q.shape
+        if flat:
+            return jnp.zeros((B, S, G * h * V_cmp.shape[3]), Q.dtype)
         return jnp.zeros((B, S, G, h, V_cmp.shape[3]), Q.dtype)
     if impl == "reference":
         if gate is not None:
@@ -538,13 +565,15 @@ def compressed_attention(
 
     Qp, h = _pad_odd_heads(Q)
     if gate is not None:
+        assert not flat or Qp.shape[3] == h, "flat-IO requires even h"
         if seq_start is not None:
             out = _flash_vjp_gated("cmp", 0, l, d, scale, interpret,
-                                   varlen=True)(
+                                   varlen=True, flat=flat)(
                 _as_t0(t_start), seq_start.astype(jnp.int32), gate,
                 Qp, K_cmp, V_cmp)
         else:
-            out = _flash_vjp_gated("cmp", 0, l, d, scale, interpret)(
+            out = _flash_vjp_gated("cmp", 0, l, d, scale, interpret,
+                                   flat=flat)(
                 _as_t0(t_start), gate, Qp, K_cmp, V_cmp)
     elif seq_start is not None:
         out = _flash_vjp("cmp", 0, l, d, scale, interpret, varlen=True)(
@@ -562,6 +591,7 @@ def selection_attention(
     pos_offset: int = 0,
     seq_start=None,
     gate=None,
+    flat: bool = False,
 ) -> jnp.ndarray:
     """Prefill uses the masked block-flash kernel (each block in a q-tile's
     union fetched once); single-query decode uses the per-query gather
@@ -613,7 +643,8 @@ def selection_attention(
         if gate is not None:
             gate = jnp.pad(gate, ((0, 0), (0, pad_s), (0, 0)))
     if gate is not None:
-        out = _sel_flash_vjp_gated(l_sel, scale, interpret)(
+        assert not flat or Qp.shape[3] == h, "flat-IO requires even h"
+        out = _sel_flash_vjp_gated(l_sel, scale, interpret, flat=flat)(
             sel_idx, _as_t0(pos_offset), gate, Qp, K, V)
     else:
         out = _sel_flash_vjp(l_sel, scale, interpret)(

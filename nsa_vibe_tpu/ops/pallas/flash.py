@@ -48,6 +48,33 @@ def stats_rows(S: int, h: int) -> int:
     return -(-S // STATS_ALIGN) * STATS_ALIGN * h
 
 
+def store_rows_flat(o_ref, out, Tq: int, h: int, Dv: int):
+    """Store [Tq*h, Dv] rows (t-major, head-minor) into a flat
+    (1, Tq, h*Dv) output block via per-head 64-aligned lane stores —
+    the ONE conversion Mosaic accepts on v5e (probed on device): the
+    direct 2-D shape cast, the 3-D merge, per-head lane CONCAT (mixed
+    vpad offsets) and strided slices all fail to compile."""
+    if h == 1:
+        o_ref[0, :] = out.reshape(Tq, Dv).astype(o_ref.dtype)
+        return
+    out3 = out.reshape(Tq, h, Dv)
+    for j in range(h):
+        o_ref[0, :, j * Dv:(j + 1) * Dv] = out3[:, j].astype(o_ref.dtype)
+
+
+def load_flat_rows(do_flat, scr, Tq: int, h: int, Dv: int):
+    """[Tq, h*Dv] flat tile -> [Tq*h, Dv] rows via a [Tq, h, Dv] f32 VMEM
+    scratch: per-head static-sublane-index stores, then the supported
+    [Tq,h,Dv] -> [Tq*h,Dv] reshape (see store_rows_flat for what Mosaic
+    rejects; the scratch must be f32 — the bf16 middle-index store is
+    another unsupported shape cast). Returns rows in do_flat's dtype."""
+    if h == 1:
+        return do_flat
+    for j in range(h):
+        scr[:, j] = do_flat[:, j * Dv:(j + 1) * Dv].astype(scr.dtype)
+    return scr[:].reshape(Tq * h, Dv).astype(do_flat.dtype)
+
+
 def gate_rows_flat(g: jnp.ndarray, h: int) -> jnp.ndarray:
     """Per-(b,t,grp) branch gate [B,S,G] -> lane-flat per-row stats
     [B*G, 1, stats_rows(S,h)] f32 (row = t*h + head; same layout as
@@ -116,6 +143,7 @@ def _flash_kernel(
     block_q: int, block_k: int, h: int, nk_grid: int, s_kv: int,
     return_lse: bool = False, varlen: bool = False,
     scale_on_q: bool = True, fastpath: bool = True, gated: bool = False,
+    flat_out: bool = False,
 ):
     if varlen:
         ds_tile_ref, q_ref, k_ref, v_ref, dsrow_ref, *refs = refs
@@ -241,8 +269,8 @@ def _flash_kernel(
         denom = l_scr[:]
         out = acc_scr[:] / jnp.where(denom > 0, denom, 1.0)
         out = jnp.where(denom > 0, out, 0.0)
-        Tq = o_ref.shape[1]
-        Dv = o_ref.shape[4]
+        Tq = block_q
+        Dv = acc_scr.shape[1]
         if gated:
             # gate-epilogue fold: emit g*O directly (per flat row; g is
             # the per-(b,t,grp) branch gate row-expanded over heads).
@@ -254,7 +282,15 @@ def _flash_kernel(
             g_lane = g_ref[0, 0, pl.dslice(qi * rows_g, rows_g)]
             gt = jax.lax.transpose(g_lane.reshape(1, rows_g), (1, 0))
             out = out * gt
-        o_ref[0, :, 0] = out.reshape(Tq, h, Dv).astype(o_ref.dtype)
+        if flat_out:
+            # flat-IO: store into the UNPADDED [B, S, G*h*Dv] layout (this
+            # group's lane slice). The 5-D [.., h, Dv] layout tile-pads
+            # its (6, 64) minor pair to T(8,128) — 2.67x physical HBM
+            # bytes on every O write, dO read and combine fusion at m7c
+            # shapes (r4 profile layout strings; r5 flat-IO design).
+            store_rows_flat(o_ref, out, Tq, h, Dv)
+        else:
+            o_ref[0, :, 0] = out.reshape(Tq, h, Dv).astype(o_ref.dtype)
         if return_lse:
             # empty rows get +1e30 so backward's exp(logits - lse) == 0
             # base-2 lse (consumed by the exp2 backward kernels)
@@ -283,7 +319,8 @@ def _as_t0(t_start, like=None) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("mode", "w", "l", "d", "scale", "block_q", "block_k",
-                     "interpret", "return_lse", "scale_on_q", "fastpath"),
+                     "interpret", "return_lse", "scale_on_q", "fastpath",
+                     "flat_out"),
 )
 def flash_banded(
     Q: jnp.ndarray,           # [B, S, G, h, Dk]  (native module layout)
@@ -305,6 +342,8 @@ def flash_banded(
     fastpath: Optional[bool] = None,     # None -> tuned("flash.fastpath_fwd"), default OFF
     gate_rows=None,           # [B*G, 1, stats_rows(S,h)] f32: per-row branch
                               # gate (gate-epilogue fold — emits g*O)
+    flat_out: bool = False,   # emit O in the unpadded flat [B,S,G*h*Dv]
+                              # layout (see _flash_kernel flat-IO note)
 ):
     """Banded/prefix flash attention. Returns O [B, S, G, h, Dv], and the
     flat row stats [B*G, 1, stats_rows(S, h)] f32 when return_lse
@@ -339,7 +378,8 @@ def flash_banded(
             Q, K, V, w=w, scale=scale,
             block_q=int(_tuned("win.diag_block_q", 256)),
             interpret=interpret, return_lse=return_lse, t_start=t_start,
-            seq_start=seq_start, scale_on_q=scale_on_q, gate_rows=gate_rows)
+            seq_start=seq_start, scale_on_q=scale_on_q, gate_rows=gate_rows,
+            flat_out=flat_out)
     block_q = min(block_q, max(S, 8))
     block_k = min(block_k, max(S_kv, 8))
     t0 = _as_t0(t_start)
@@ -389,13 +429,21 @@ def flash_banded(
         block_q=block_q, block_k=block_k, h=h, nk_grid=nk, s_kv=S_kv,
         return_lse=return_lse, varlen=varlen,
         scale_on_q=scale_on_q, fastpath=fastpath,
-        gated=gate_rows is not None,
+        gated=gate_rows is not None, flat_out=flat_out,
     )
-    out_specs = pl.BlockSpec(
-        (1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
+    if flat_out:
+        # unpadded [B, S, G*h*Dv]: per-group blocks are lane slices
+        out_specs = pl.BlockSpec(
+            (1, block_q, h * Dv), lambda b, g, qi, ki, *_: (b, qi, g),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B, S, G * h * Dv), Q.dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, block_q, 1, h, Dv), lambda b, g, qi, ki, *_: (b, qi, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
     if return_lse:
         # flat stats [B*G, 1, stats_rows], one per-(b,g) block: the block
         # stays VMEM-resident across (qi, ki) (index changes only with

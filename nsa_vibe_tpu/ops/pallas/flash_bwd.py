@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nsa_vibe_tpu.ops.pallas.flash import (
-    LOG2E, _band_select, _bounds_fn, _q_scale_fold, stats_rows,
+    LOG2E, _band_select, _bounds_fn, _q_scale_fold, load_flat_rows, stats_rows,
 )
 
 
@@ -254,6 +254,7 @@ def _onepass_bwd_kernel(
     t0_ref, *refs,
     mode, w, l, d, scale, block_q, block_k, h, nq_grid, nq_total, s, s_kv,
     varlen=False, scale_on_q=True, fastpath=True, gated=False,
+    flat_do=False,
 ):
     """ONE-pass flash backward: kv-major grid (b, g, ki, qt). P/dS are
     computed ONCE per (kv-tile, q-tile) pair and feed all three products
@@ -281,7 +282,11 @@ def _onepass_bwd_kernel(
     refs = refs[6:]
     g_ref = refs.pop(0) if gated else None
     dsrow_ref = refs.pop(0) if varlen else None
-    (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+    if flat_do:
+        (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr, do_scr) = refs
+    else:
+        (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = refs
+        do_scr = None
     b = pl.program_id(0)
     ki = pl.program_id(2)
     qi_rel = pl.program_id(3)
@@ -373,11 +378,19 @@ def _onepass_bwd_kernel(
             rowvf = (qt * block_q + flat // h) < s
             lse_raw = _load_stats(lse_ref, qt * rows, rows)
             lse = lse_raw if full_q else jnp.where(rowvf, lse_raw, EMPTY_LSE)
-            do = do_ref[0, :, 0]
-            Dv = do.shape[2]
-            if not full_q:
-                do = jnp.where(rowv[:, :, None], do, 0)
-            dof = do.reshape(rows, Dv)
+            if flat_do:
+                # unpadded flat [B,S,G*h*Dv] dO (see flash flat-IO note)
+                do = do_ref[0]                            # [Tq, h*Dv]
+                Dv = do.shape[1] // h
+                if not full_q:
+                    do = jnp.where(rowv, do, 0)
+                dof = load_flat_rows(do, do_scr, block_q, h, Dv)
+            else:
+                do = do_ref[0, :, 0]
+                Dv = do.shape[2]
+                if not full_q:
+                    do = jnp.where(rowv[:, :, None], do, 0)
+                dof = do.reshape(rows, Dv)
             if gated:
                 # gate fold: the branch upstream is g*dO — scale the dO
                 # tile in-register (replaces the XLA-materialized
@@ -402,7 +415,10 @@ def _onepass_bwd_kernel(
             qs, post = _q_scale_fold(qf, scale * LOG2E, scale_on_q)
             lse = _load_stats(lse_ref, qt * rows, rows)
             delta = _load_stats(delta_ref, qt * rows, rows)
-            dof = do_ref[0, :, 0].reshape(rows, do_ref.shape[4])
+            dof = (load_flat_rows(do_ref[0], do_scr, block_q, h,
+                                  do_ref.shape[2] // h)
+                   if flat_do
+                   else do_ref[0, :, 0].reshape(rows, do_ref.shape[4]))
             if gated:
                 gt = _load_stats(g_ref, qt * rows, rows)
                 dof = (dof * gt).astype(do_ref.dtype)
@@ -480,12 +496,16 @@ def flash_banded_bwd_onepass(
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands, stats_rows as _sr
     from nsa_vibe_tpu.ops.tuning import tuned
 
+    flat_do = dO.ndim == 3          # flat [B,S,G*h*Dv] upstream (flat-IO)
     if (mode == "win" and w > 0 and Q.shape[1] >= 128
             and bool(tuned("win.bwd_diag", 0))):
         # diagonal band tiling (ops/pallas/flash_diag.py): one step per
         # q-tile, exact band fetch, dK/dV via scatter-added strips
         from nsa_vibe_tpu.ops.pallas.flash_diag import flash_banded_bwd_diag
 
+        if flat_do:                 # diag bwd consumes the 5-D layout
+            _b, _s, _g, _h, _dk = Q.shape
+            dO = dO.reshape(_b, _s, _g, _h, -1)
         if gate_rows is not None:   # diag bwd has no in-kernel gating
             dO = _apply_gate_dense(dO, gate_rows, Q.shape[3])
         return flash_banded_bwd_diag(
@@ -549,6 +569,8 @@ def flash_banded_bwd_onepass(
         nq_inner = nq
         nslots = nq                      # prefix mode: all tiles in flight
         if l - 1 >= block_q:             # would break first_ki == 0 (cmp)
+            if flat_do:                  # two-pass bwd consumes 5-D
+                dO = dO.reshape(B, S, G, h, Dv)
             if gate_rows is not None:    # two-pass bwd has no in-kernel gating
                 dO = _apply_gate_dense(dO, gate_rows, h)
             return flash_banded_bwd(
@@ -567,9 +589,16 @@ def flash_banded_bwd_onepass(
     q_spec = pl.BlockSpec((1, block_q, 1, h, Dk),
                           lambda b, g, ki, qi, *sr: (b, q_index(b, g, ki, qi, *sr), g, 0, 0),
                           memory_space=pltpu.VMEM)
-    do_spec = pl.BlockSpec((1, block_q, 1, h, Dv),
-                           lambda b, g, ki, qi, *sr: (b, q_index(b, g, ki, qi, *sr), g, 0, 0),
-                           memory_space=pltpu.VMEM)
+    if flat_do:
+        do_spec = pl.BlockSpec(
+            (1, block_q, h * Dv),
+            lambda b, g, ki, qi, *sr: (b, q_index(b, g, ki, qi, *sr), g),
+            memory_space=pltpu.VMEM)
+    else:
+        do_spec = pl.BlockSpec(
+            (1, block_q, 1, h, Dv),
+            lambda b, g, ki, qi, *sr: (b, q_index(b, g, ki, qi, *sr), g, 0, 0),
+            memory_space=pltpu.VMEM)
     stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
                              lambda b, g, ki, qi, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -602,7 +631,8 @@ def flash_banded_bwd_onepass(
                           scale=scale, block_q=block_q, block_k=block_k, h=h,
                           nq_grid=nq_inner, nq_total=nq, s=S, s_kv=S_kv,
                           varlen=varlen, scale_on_q=scale_on_q,
-                          fastpath=fastpath, gated=gate_rows is not None),
+                          fastpath=fastpath, gated=gate_rows is not None,
+                          flat_do=flat_do),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2 if varlen else 1,
             grid=(B, G, nk_total, nq_inner),
@@ -612,7 +642,7 @@ def flash_banded_bwd_onepass(
                 pltpu.VMEM((nslots * rows, Dk), jnp.float32),
                 pltpu.VMEM((block_k, Dk), jnp.float32),
                 pltpu.VMEM((block_k, Dv), jnp.float32),
-            ],
+            ] + ([pltpu.VMEM((block_q, h, Dv), jnp.float32)] if flat_do else []),
         ),
         out_shape=[
             jax.ShapeDtypeStruct(Q.shape, Q.dtype),
@@ -645,6 +675,8 @@ def flash_banded_bwd(
     from nsa_vibe_tpu.ops.pallas.flash import _as_t0, _varlen_operands
     from nsa_vibe_tpu.ops.tuning import tuned
 
+    if dO.ndim == 3:               # flat-IO upstream: this kernel is 5-D
+        dO = dO.reshape(*Q.shape[:4], -1)
     if gate_rows is not None:
         dO = _apply_gate_dense(dO, gate_rows, Q.shape[3])
     if scale_on_q is None:

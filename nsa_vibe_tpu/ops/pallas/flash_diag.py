@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nsa_vibe_tpu.ops.pallas.flash import (
     LOG2E, NEG_INF, _as_t0, _band_select, _q_scale_fold, _varlen_operands,
-    stats_rows,
+    stats_rows, store_rows_flat,
 )
 from nsa_vibe_tpu.ops.pallas.flash_bwd import EMPTY_LSE, _load_stats
 
@@ -44,7 +44,7 @@ def _diag_kernel(
     t0_ref, *refs,
     w: int, scale: float, block_q: int, h: int, KB: int, s_kv: int,
     return_lse: bool = False, varlen: bool = False, scale_on_q: bool = True,
-    gated: bool = False,
+    gated: bool = False, flat_out: bool = False,
 ):
     if varlen:
         ds_tile_ref, q_ref = refs[0], refs[1]
@@ -121,12 +121,16 @@ def _diag_kernel(
     )
     out = pv / jnp.where(denom > 0, denom, 1.0)
     out = jnp.where(denom > 0, out, 0.0)
-    Dv = o_ref.shape[4]
+    Dv = out.shape[1]
     if gated:
         # gate-epilogue fold (see flash._flash_kernel): emit g*O
         gt = _load_stats(g_ref, qi * rows, rows)          # [rows, 1]
         out = out * gt
-    o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
+    if flat_out:
+        # unpadded flat [B,S,G*h*Dv] store (see flash._flash_kernel)
+        store_rows_flat(o_ref, out, block_q, h, Dv)
+    else:
+        o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
     if return_lse:
         lse = jnp.where(denom > 0,
                         m + jnp.log2(jnp.maximum(denom, 1e-38)), 1e30)
@@ -137,7 +141,7 @@ def _diag_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("w", "scale", "block_q", "interpret", "return_lse",
-                     "scale_on_q"),
+                     "scale_on_q", "flat_out"),
 )
 def flash_banded_diag(
     Q: jnp.ndarray,           # [B, S, G, h, Dk]
@@ -153,6 +157,7 @@ def flash_banded_diag(
     seq_start=None,
     scale_on_q=None,
     gate_rows=None,           # [B*G,1,stats_rows] f32 (gate-epilogue fold)
+    flat_out: bool = False,   # emit O flat [B,S,G*h*Dv] (see flash.py)
 ):
     """Same contract as flash.flash_banded(mode="win") — O [B,S,G,h,Dv]
     (+ flat stats [B*G, 1, stats_rows(S, h)] when return_lse)."""
@@ -181,10 +186,16 @@ def flash_banded_diag(
         return index
 
     rows = block_q * h
-    out_specs = pl.BlockSpec(
-        (1, block_q, 1, h, Dv), lambda b, g, qi, *_: (b, qi, g, 0, 0),
-        memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
+    if flat_out:
+        out_specs = pl.BlockSpec(
+            (1, block_q, h * Dv), lambda b, g, qi, *_: (b, qi, g),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, S, G * h * Dv), Q.dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, block_q, 1, h, Dv), lambda b, g, qi, *_: (b, qi, g, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
     if return_lse:
         out_specs = [out_specs, pl.BlockSpec(
             (1, 1, stats_rows(S, h)), lambda b, g, qi, *_: (b * G + g, 0, 0),
@@ -222,7 +233,8 @@ def flash_banded_diag(
     kernel = functools.partial(
         _diag_kernel, w=w, scale=scale, block_q=block_q, h=h, KB=KB,
         s_kv=S_kv, return_lse=return_lse, varlen=varlen,
-        scale_on_q=scale_on_q, gated=gate_rows is not None)
+        scale_on_q=scale_on_q, gated=gate_rows is not None,
+        flat_out=flat_out)
     # replicate K/V per band-tile operand (same-array aliasing is free —
     # the cost model sees KB windows into one HBM buffer)
     call_args = operands + [Q] + [K] * KB + [V] * KB

@@ -32,7 +32,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, _q_scale_fold, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import (
+    LOG2E, _as_t0, _q_scale_fold, stats_rows, store_rows_flat,
+)
 from nsa_vibe_tpu.ops.pallas.sel_flash import _scale_on_q
 
 NEG = float(np.finfo(np.float32).min)
@@ -310,6 +312,7 @@ def _select_cmp_kernel(
     n_top: int, n_forced: int, force_init: bool, force_local: int,
     block_q: int, h: int, cmp_chunk: int, n_chunks: int, s_cmp: int, s_sel: int,
     h_real=None, varlen: bool = False, gated: bool = False,
+    flat_out: bool = False,
 ):
     """Fused Eq. 8-12 selection AND compressed-branch attention: both
     consume softmax(Q K_cmp^T) under the same prefix visibility, so one
@@ -392,14 +395,18 @@ def _select_cmp_kernel(
         denom = l_scr[:]
         out = acc_o[:] / jnp.where(denom > 0, denom, 1.0)
         out = jnp.where(denom > 0, out, 0.0)
-        Dv = o_cmp_ref.shape[4]
+        Dv = acc_o.shape[1]
         if gated:
             # gate-epilogue fold (see flash._flash_kernel): emit g*O_cmp.
             # Selection scores are unaffected (acc_slc path).
             g_lane = g_ref[0, 0, pl.dslice(qt * rows, rows)]
             gt = jax.lax.transpose(g_lane.reshape(1, rows), (1, 0))
             out = out * gt
-        o_cmp_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_cmp_ref.dtype)
+        if flat_out:
+            # unpadded flat [B,S,G*h*Dv] store (see flash._flash_kernel)
+            store_rows_flat(o_cmp_ref, out, block_q, h, Dv)
+        else:
+            o_cmp_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_cmp_ref.dtype)
         # base-2 lse (consumed by the exp2 flash backward kernels)
         lse = jnp.where(denom > 0,
                         m_scr[:] + jnp.log2(jnp.maximum(denom, 1e-38)),
@@ -424,7 +431,7 @@ def _select_cmp_kernel(
     jax.jit,
     static_argnames=("scale", "l", "d", "l_sel", "n_top", "force_init",
                      "force_local", "block_q", "cmp_chunk", "interpret",
-                     "h_real"),
+                     "h_real", "flat_out"),
 )
 def nsa_select_and_cmp_pallas(
     Q: jnp.ndarray,        # [B, S, G, h, Dk]  (RoPE'd)
@@ -442,6 +449,7 @@ def nsa_select_and_cmp_pallas(
     h_real: "int | None" = None,
     seq_start: "jnp.ndarray | None" = None,
     gate_rows: "jnp.ndarray | None" = None,  # [B*G,1,stats_rows] f32
+    flat_out: bool = False,  # emit O_cmp flat [B,S,G*h*Dv] (see flash.py)
 ):
     """Fused selection + compressed attention. Returns
     (sel_idx [B,S,G,max(n_top,n_forced)] i32 (see nsa_select_pallas),
@@ -472,7 +480,7 @@ def nsa_select_and_cmp_pallas(
         n_forced=n_forced, force_init=force_init, force_local=force_local,
         block_q=block_q, h=h, cmp_chunk=cmp_chunk, n_chunks=n_chunks,
         s_cmp=S_cmp, s_sel=S_sel, h_real=h_real, varlen=varlen,
-        gated=gate_rows is not None,
+        gated=gate_rows is not None, flat_out=flat_out,
     )
     t0 = _as_t0(pos_offset)
     in_specs = [
@@ -513,9 +521,12 @@ def nsa_select_and_cmp_pallas(
                 pl.BlockSpec((1, 1, block_q, n_out),
                              lambda b, g, qt, c, *_: (b, g, qt, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, 1, h, Dv),
-                             lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
-                             memory_space=pltpu.VMEM),
+                (pl.BlockSpec((1, block_q, h * Dv),
+                              lambda b, g, qt, c, *_: (b, qt, g),
+                              memory_space=pltpu.VMEM) if flat_out else
+                 pl.BlockSpec((1, block_q, 1, h, Dv),
+                              lambda b, g, qt, c, *_: (b, qt, g, 0, 0),
+                              memory_space=pltpu.VMEM)),
                 pl.BlockSpec((1, 1, stats_rows(S, h)),
                              lambda b, g, qt, c, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -529,7 +540,8 @@ def nsa_select_and_cmp_pallas(
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, G, S, n_out), jnp.int32),
-            jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype),
+            jax.ShapeDtypeStruct(
+                (B, S, G * h * Dv) if flat_out else (B, S, G, h, Dv), Q.dtype),
             jax.ShapeDtypeStruct((B * G, 1, stats_rows(S, h)), jnp.float32),
         ],
         interpret=interpret,

@@ -29,7 +29,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nsa_vibe_tpu.ops.pallas.flash import LOG2E, _as_t0, _q_scale_fold, stats_rows
+from nsa_vibe_tpu.ops.pallas.flash import (
+    LOG2E, _as_t0, _q_scale_fold, load_flat_rows, stats_rows, store_rows_flat,
+)
 
 
 def _scale_on_q() -> bool:
@@ -60,6 +62,7 @@ def _sel_flash_kernel(
     order_ref, count_ref, t0_ref, q_ref, sel_ref, *rest,
     l_sel: int, scale: float, block_q: int, h: int, Jg: int, KB: int,
     s_kv: int, return_lse: bool = False, gated: bool = False,
+    flat_out: bool = False,
 ):
     """One grid step processes KB selection blocks: KB parallel K/V DMAs
     feed a single [Tq*h, KB*l_sel] matmul. With one block per step the
@@ -162,11 +165,15 @@ def _sel_flash_kernel(
         denom = l_scr[:]
         out = acc_scr[:] / jnp.where(denom > 0, denom, 1.0)
         out = jnp.where(denom > 0, out, 0.0)
-        Dv = o_ref.shape[4]
+        Dv = acc_scr.shape[1]
         if gated:
             # gate-epilogue fold (see flash._flash_kernel): emit g*O
             out = out * _load_stats(g_ref, qt * block_q * h, block_q * h)
-        o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
+        if flat_out:
+            # unpadded flat [B,S,G*h*Dv] store (see flash._flash_kernel)
+            store_rows_flat(o_ref, out, block_q, h, Dv)
+        else:
+            o_ref[0, :, 0] = out.reshape(block_q, h, Dv).astype(o_ref.dtype)
         if return_lse:
             # base-2 lse (consumed by the exp2 backward kernels)
             lse = jnp.where(denom > 0,
@@ -215,7 +222,7 @@ def _smem_safe_block_q(B: int, G: int, S: int, J: int, block_q: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("l_sel", "scale", "block_q", "kv_batch", "interpret",
-                     "q_chunk", "return_lse"),
+                     "q_chunk", "return_lse", "flat_out"),
 )
 def selection_flash_pallas(
     Q: jnp.ndarray,        # [B, S, G, h, Dk]
@@ -232,6 +239,7 @@ def selection_flash_pallas(
     q_chunk: int = 4096,
     return_lse: bool = False,
     gate_rows=None,        # [B*G,1,stats_rows(S,h)] f32 (gate-epilogue fold)
+    flat_out: bool = False,  # emit O flat [B,S,G*h*Dv] (see flash.py)
 ):
     """Returns O [B, S, G, h, Dv] (+ lse [B, G, S, h] f32 if return_lse)."""
     B, S, G, h, Dk = Q.shape
@@ -252,13 +260,17 @@ def selection_flash_pallas(
                 Qc[i], K, V, selc[i], l_sel=l_sel, scale=scale,
                 pos_offset=pos_offset + i * q_chunk, block_q=block_q,
                 kv_batch=kv_batch, interpret=interpret, q_chunk=q_chunk,
-                return_lse=return_lse, gate_rows=gc,
+                return_lse=return_lse, gate_rows=gc, flat_out=flat_out,
             )
             if return_lse:
                 outs.append(r[0]); lses.append(r[1])
             else:
                 outs.append(r)
-        O = jnp.stack(outs).transpose(1, 0, 2, 3, 4, 5).reshape(B, S, G, h, Dv)
+        if flat_out:
+            O = (jnp.stack(outs).transpose(1, 0, 2, 3)
+                 .reshape(B, S, G * h * Dv))
+        else:
+            O = jnp.stack(outs).transpose(1, 0, 2, 3, 4, 5).reshape(B, S, G, h, Dv)
         if return_lse:
             lse = jnp.concatenate(
                 [x[:, :, : q_chunk * h] for x in lses], axis=2)
@@ -283,11 +295,18 @@ def selection_flash_pallas(
             return (b, g, blk, 0)
         return index
 
-    out_specs = pl.BlockSpec(
-        (1, block_q, 1, h, Dv), lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
+    if flat_out:
+        out_specs = pl.BlockSpec(
+            (1, block_q, h * Dv), lambda b, g, qt, j, *_: (b, qt, g),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B, S, G * h * Dv), Q.dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, block_q, 1, h, Dv), lambda b, g, qt, j, *_: (b, qt, g, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B, S, G, h, Dv), Q.dtype)
     if return_lse:
         out_specs = [out_specs, pl.BlockSpec(
             (1, 1, stats_rows(S, h)), lambda b, g, qt, j, *_: (b * G + g, 0, 0),
@@ -329,7 +348,7 @@ def selection_flash_pallas(
     kernel = functools.partial(
         _sel_flash_kernel, l_sel=l_sel, scale=scale, block_q=block_q,
         h=h, Jg=Jg, KB=KB, s_kv=S_kv, return_lse=return_lse,
-        gated=gate_rows is not None,
+        gated=gate_rows is not None, flat_out=flat_out,
     )
     t0 = _as_t0(pos_offset)
     args = [order, count, t0, Q, sel_arg, *([K] * KB), *([V] * KB)]
@@ -525,6 +544,8 @@ def selection_flash_bwd(
     accumulate across q-chunks. gate_rows: gate fold — this two-pass
     variant pre-scales dO in XLA (the tuned path is the one-pass kernel
     with in-register gating)."""
+    if dO.ndim == 3:               # flat-IO upstream: this kernel is 5-D
+        dO = dO.reshape(*Q.shape[:4], -1)
     if gate_rows is not None:
         from nsa_vibe_tpu.ops.pallas.flash_bwd import _apply_gate_dense
 
@@ -692,6 +713,7 @@ def _sel_onepass_bwd_kernel(
     orderq_ref, countq_ref, t0_ref, q_ref, sel_ref, k_ref, v_ref, do_ref,
     lse_ref, delta_ref, *rest,
     l_sel, scale, block_q, h, NQ, KB, s_kv, s, kv_full, gated=False,
+    flat_do=False,
 ):
     """kv-major ONE-pass backward: P/dS computed once per
     (kv-tile-group, q-tile) pair feed dV/dK (resident scratch) AND dQ
@@ -705,7 +727,11 @@ def _sel_onepass_bwd_kernel(
     cost −7% e2e — docs/KERNELS.md dead ends.)"""
     rest = list(rest)
     g_ref = rest.pop(0) if gated else None
-    (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = rest
+    if flat_do:
+        (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr, do_scr) = rest
+    else:
+        (dq_ref, dk_ref, dv_ref, dq_scr, dk_scr, dv_scr) = rest
+        do_scr = None
     b = pl.program_id(0)
     g = pl.program_id(1)
     jg = pl.program_id(2)
@@ -741,10 +767,17 @@ def _sel_onepass_bwd_kernel(
         rowvf = (qt * block_q + flat // h) < s
         lse_raw = _load_stats(lse_ref, qt * rows, rows)
         lse = lse_raw if full_q else jnp.where(rowvf, lse_raw, 1e30)
-        do = do_ref[0, :, 0]
-        Dv = do.shape[2]
-        do_z = do if full_q else jnp.where(rowv[:, :, None], do, 0)
-        dof = do_z.reshape(rows, Dv)
+        if flat_do:
+            # unpadded flat [B,S,G*h*Dv] dO (see flash flat-IO note)
+            do = do_ref[0]                                 # [Tq, h*Dv]
+            Dv = do.shape[1] // h
+            do_z = do if full_q else jnp.where(rowv, do, 0)
+            dof = load_flat_rows(do_z, do_scr, block_q, h, Dv)
+        else:
+            do = do_ref[0, :, 0]
+            Dv = do.shape[2]
+            do_z = do if full_q else jnp.where(rowv[:, :, None], do, 0)
+            dof = do_z.reshape(rows, Dv)
         if gated:
             # gate fold: branch upstream is g*dO, scaled in-register
             # (see flash_bwd._onepass_bwd_kernel; delta is the gated D)
@@ -887,11 +920,12 @@ def selection_flash_bwd_onepass(
     stat_spec = pl.BlockSpec((1, 1, stats_rows(S, h)),
                              lambda b, g, jg, qi, *_: (b * G + g, 0, 0),
                              memory_space=pltpu.VMEM)
+    flat_do = dO.ndim == 3          # flat [B,S,G*h*Dv] upstream (flat-IO)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_sel_onepass_bwd_kernel, l_sel=l_sel, scale=scale,
                           block_q=block_q, h=h, NQ=nq, KB=KB, s_kv=S_kv, s=S,
                           kv_full=KV_pad == S_kv,
-                          gated=gate_rows is not None),
+                          gated=gate_rows is not None, flat_do=flat_do),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(B, G, Jg, nq),
@@ -906,9 +940,12 @@ def selection_flash_bwd_onepass(
                 pl.BlockSpec((1, 1, KB * l_sel, Dv),
                              lambda b, g, jg, qi, *_: (b, g, jg, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_q, 1, h, Dv),
-                             lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
-                             memory_space=pltpu.VMEM),
+                (pl.BlockSpec((1, block_q, h * Dv),
+                              lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g),
+                              memory_space=pltpu.VMEM) if flat_do else
+                 pl.BlockSpec((1, block_q, 1, h, Dv),
+                              lambda b, g, jg, qi, oq, cq, t0r: (b, q_index(b, g, jg, qi, oq, cq, t0r), g, 0, 0),
+                              memory_space=pltpu.VMEM)),
                 stat_spec, stat_spec,
             ] + ([stat_spec] if gate_rows is not None else []),
             out_specs=[
@@ -926,7 +963,7 @@ def selection_flash_bwd_onepass(
                 pltpu.VMEM((nq * rows, Dk), jnp.float32),
                 pltpu.VMEM((KB * l_sel, Dk), jnp.float32),
                 pltpu.VMEM((KB * l_sel, Dv), jnp.float32),
-            ],
+            ] + ([pltpu.VMEM((block_q, h, Dv), jnp.float32)] if flat_do else []),
         ),
         out_shape=[
             jax.ShapeDtypeStruct(Q.shape, Q.dtype),

@@ -107,6 +107,12 @@ DEFAULTS = {
     # f32 into the kernel epilogue (vs a bf16 cast + padded multiply
     # outside) — same-ulp-class change as flash.scale_on_q.
     "nsa.gate_fold": 0,
+    # flat-IO (with the fold): branch kernels emit Y in the unpadded
+    # [B,S,H*Dv] layout and the backwards consume flat dO — the 5-D
+    # (h=6, Dv=64) minor pair is T(8,128) tile-padded to 2.67x physical
+    # HBM bytes on every O write / dO read / combine fusion (r4 profile
+    # layout strings), and the flat combine feeds W_O with no reshape.
+    "nsa.flat_io": 0,
 }
 
 _TUNING_PATH = os.environ.get(

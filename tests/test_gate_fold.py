@@ -171,3 +171,49 @@ def test_softmax_dform_pairs_to_exact_softmax_grad():
     g_plain = jax.grad(loss_plain)(z)
     g_dform = jax.grad(loss_dform)(z)
     assert jnp.allclose(g_plain, g_dform, atol=1e-5, rtol=1e-5)
+
+
+def _set_fold_flat(monkeypatch, fold: int, flat: int):
+    base = dict(tuning._load())
+    base["nsa.gate_fold"] = fold
+    base["nsa.flat_io"] = flat
+    monkeypatch.setattr(tuning, "_load", lambda: base)
+
+
+def test_flat_io_forward_and_grads_match(setup, monkeypatch):
+    """flat-IO (kernels emit the unpadded [B,S,H*Dv] layout): values and
+    gradients match the unfused 5-D path."""
+    params, x = setup
+    _set_fold_flat(monkeypatch, 0, 0)
+    ref_out, _ = nsa_prefill(params, x, CFG)
+    ref = _grads(params, x, CFG)
+    _set_fold_flat(monkeypatch, 1, 1)
+    out, aux = nsa_prefill(params, x, CFG)
+    got = _grads(params, x, CFG)
+    assert out.shape == ref_out.shape
+    assert jnp.allclose(out, ref_out, atol=1e-5, rtol=1e-5)
+    _tree_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_flat_io_varlen_grads_match(setup, monkeypatch):
+    params, x = setup
+    B, S = x.shape[:2]
+    seq_start = jnp.where(jnp.arange(S) < 8, 0, 8)[None, :].repeat(B, 0)
+    _set_fold_flat(monkeypatch, 0, 0)
+    ref = _grads(params, x, CFG, seq_start)
+    _set_fold_flat(monkeypatch, 1, 1)
+    got = _grads(params, x, CFG, seq_start)
+    _tree_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_flat_io_odd_h_falls_back(monkeypatch):
+    """Odd heads-per-group (pad-head path) disables flat-IO but keeps the
+    fold; output still matches the unfused path."""
+    cfg = CFG.replace(n_heads=6, n_kv_groups=2)   # h = 3
+    params = init_nsa_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.dim)) * 0.5
+    _set_fold_flat(monkeypatch, 0, 0)
+    ref_out, _ = nsa_prefill(params, x, cfg)
+    _set_fold_flat(monkeypatch, 1, 1)
+    out, _ = nsa_prefill(params, x, cfg)
+    assert jnp.allclose(out, ref_out, atol=1e-5, rtol=1e-5)
