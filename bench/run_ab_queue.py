@@ -205,6 +205,14 @@ VARIANTS += [
     # bytes) and the backwards consume flat dO via an f32 scratch
     # conversion; the combine feeds W_O with no reshape.
     ("gate-fold-flat", {"nsa.gate_fold": 1, "nsa.flat_io": 1}),
+    # r5: sel backward two-pass (dQ q-major reusing the forward's
+    # scalar-prefetched compaction + dKV kv-major) re-tuned at the
+    # merged 24 MB scoped budget — it lost to one-pass at 16 MB (r2:
+    # one-pass +11% e2e), but each pass has ~half the live buffers, so
+    # the raised budget may admit geometries one-pass can't.
+    ("sel-twopass", {"sel.bwd_onepass": 0}),
+    ("sel-twopass-kb16", {"sel.bwd_onepass": 0, "sel.bwd_kv_batch": 16}),
+    ("sel-twopass-q512", {"sel.bwd_onepass": 0, "sel.bwd_block_q": 512}),
 ]
 
 
