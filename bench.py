@@ -23,8 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_MS = {128: 5.86, 256: 5.93, 512: 5.89, 1024: 5.99,
-               2048: 5.99, 4096: 5.99}
-SWEEP_S = (512, 1024, 2048, 4096)
+               2048: 5.99, 4096: 5.99, 16384: 5.99, 65536: 5.99}
+# r5: long-S points extend the latency CURVE to the 64k claim (VERDICT
+# item 6) — NSA decode reads stay num_cmp(S) + n*l_sel + w, so device
+# latency should grow only with the cmp prefix term
+SWEEP_S = (512, 1024, 2048, 4096, 16384, 65536)
 
 
 def bench_decode(S: int = 1024, iters: int = 128, warmup: int = 8,

@@ -82,7 +82,7 @@ def serve_bench(args) -> None:
     cfg = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,
                     d_k=64, d_v=64, l=32, d=16, l_sel=64, n_sel=16, w=512,
                     kernel=args.kernel)
-    mcfg = ModelConfig(vocab_size=256, n_layers=4, nsa=cfg, dtype=args.dtype)
+    mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=cfg, dtype=args.dtype)
     params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.dtype(args.dtype))
     prompt = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, (args.batch, S0)), jnp.int32)
@@ -119,7 +119,7 @@ def serve_ragged_bench(args) -> None:
     cfg = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,
                     d_k=64, d_v=64, l=32, d=16, l_sel=64, n_sel=16, w=512,
                     kernel=args.kernel)
-    mcfg = ModelConfig(vocab_size=256, n_layers=4, nsa=cfg, dtype=args.dtype)
+    mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=cfg, dtype=args.dtype)
     params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.dtype(args.dtype))
     rng = np.random.default_rng(0)
     lens = rng.integers(256, 1025, args.batch)            # mixed prompt lengths
@@ -169,7 +169,7 @@ def serve_cb_bench(args) -> None:
     cfg = NSAConfig(dim=args.dim, n_heads=args.heads, n_kv_groups=args.groups,
                     d_k=64, d_v=64, l=32, d=16, l_sel=64, n_sel=16, w=512,
                     kernel=args.kernel)
-    mcfg = ModelConfig(vocab_size=256, n_layers=4, nsa=cfg, dtype=args.dtype)
+    mcfg = ModelConfig(vocab_size=256, n_layers=args.layers, nsa=cfg, dtype=args.dtype)
     params = init_model_params(jax.random.PRNGKey(0), mcfg, jnp.dtype(args.dtype))
     rng = np.random.default_rng(0)
     B = args.batch
@@ -298,6 +298,10 @@ def main() -> None:
     ap.add_argument("--groups", type=int, default=2)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--layers", type=int, default=4,
+                    help="serve-model depth (--serve*): 4 matches the r3/r4 "
+                         "history; 12 + --dim 768 --heads 12 is the m7c "
+                         "flagship (VERDICT r4 item 5)")
     ap.add_argument("--kernel", default="auto")
     ap.add_argument("--csv", default=None)
     ap.add_argument("--branches", action="store_true",

@@ -71,7 +71,11 @@ def main() -> None:
                        varlen=args.varlen)
 
     mesh = None
-    if args.pp > 1 or args.dp > 1:
+    if args.pp > 1 or args.dp >= 1:
+        # an EXPLICIT --dp 1 builds a real 1-member mesh and runs the
+        # shard_map train step with the tuned Pallas kernels — the
+        # "sharded graph x real kernels" check the 8-virtual-CPU tests
+        # structurally can't cover (VERDICT r4 item 8)
         from nsa_vibe_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(dp=args.dp or None, pp=args.pp)

@@ -79,7 +79,11 @@ def main() -> None:
         "S": args.S,
         "prefill_s": round(prefill_s, 2),
         "prefill_toks_per_s": round(args.S / prefill_s, 1),
-        "decode_ms_per_step": round(decode_ms, 3),
+        # DISPATCHED per-call latency (includes the ~0.5-2 ms axon
+        # tunnel pedestal per step, which dominates at these scales);
+        # the true DEVICE latency curve to 64k is bench.py's chained
+        # sweep (decode_device_ms_per_step_S*, ~tens of us)
+        "decode_ms_per_step_dispatched": round(decode_ms, 3),
         "decode_reads": total_kv,
         "decode_reads_vs_full": round(total_kv / (args.S + args.decode_steps), 4),
         "reads_cmp": int(info.reads_cmp),
