@@ -59,3 +59,6 @@ run train_mesh_dp1 2400 python bench/bench_train.py --batch 16 --seq 2048 \
     --steps 8 --chained --dp 1
 
 echo "ALL DONE $(date +%H:%M:%S)"
+
+# 8. continuous-batching soak with mid-stream admissions (flagship)
+run serve_soak_m7c 900 python bench/serve_soak.py --minutes 3
