@@ -133,11 +133,8 @@ def test_pp_rejects_bad_composition():
     mesh = make_mesh(dp=2, pp=2, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="mesh"):
         build_state_and_step(params, MCFG, tcfg, mesh)
-    # pp x sp x tp in ONE mesh is the remaining (rejected) composition
-    tcfg_3 = TrainConfig(steps=1, batch_size=4, seq_len=64, pp=2, sp=2, tp=2)
-    mesh_3 = make_mesh(dp=1, pp=2, sp=2, tp=2, devices=jax.devices()[:8])
-    with pytest.raises(ValueError, match="not both"):
-        build_state_and_step(params, MCFG, tcfg_3, mesh_3)
+    # pp x sp x tp in one mesh is SUPPORTED since r5 (test_pp_sp_tp_*);
+    # only genuinely invalid shapes stay loud:
     with pytest.raises(ValueError, match="divisible"):
         pipeline_model_loss(stack_blocks(params),
                             jnp.zeros((4, 65), jnp.int32),
