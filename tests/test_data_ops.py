@@ -119,9 +119,34 @@ def _write_hb(path, records):
 
 
 def test_watchdog_heartbeat_stall(tmp_path):
+    # watchdog has been attached for a while (watch_start in the past)
+    # and the last heartbeat is older than the stall threshold
     _write_hb(tmp_path / "heartbeat.jsonl", [{"ts": time.time() - 1000, "step": 1}])
-    anomaly = check_once(str(tmp_path), WatchdogPolicy(heartbeat_stall_s=180), {})
+    state = {"watch_start": time.time() - 1000}
+    anomaly = check_once(str(tmp_path), WatchdogPolicy(heartbeat_stall_s=180), state)
     assert anomaly == "heartbeat_stall"
+
+
+def test_watchdog_resume_does_not_stall_on_stale_heartbeat(tmp_path):
+    """A watchdog attached to a RESUMED run must not fire on the
+    previous life's heartbeat age (found live in the r5 sustained run:
+    phase-2's watchdog halted the resume during its compile phase). The
+    stall clock runs from max(last heartbeat, watchdog start), and other
+    checks skip pre-existing samples until a fresh beat arrives."""
+    _write_hb(tmp_path / "heartbeat.jsonl",
+              [{"ts": time.time() - 1000, "step": 2600, "toks_per_s": 0.0,
+                "gate_entropy": 0.01, "gate_max": 0.99,
+                "gate_collapse_frac": 1.0, "grad_norm": 0.0}] * 8)
+    state = {}          # fresh watchdog: watch_start = now
+    for _ in range(5):
+        assert check_once(
+            str(tmp_path), WatchdogPolicy(heartbeat_stall_s=180), state) is None
+    # ... but once the watchdog has genuinely waited past the threshold
+    # with no fresh beat, the stall is real
+    state["watch_start"] = time.time() - 300
+    assert check_once(
+        str(tmp_path), WatchdogPolicy(heartbeat_stall_s=180),
+        state) == "heartbeat_stall"
 
 
 def test_watchdog_gate_collapse(tmp_path):
@@ -130,7 +155,7 @@ def test_watchdog_gate_collapse(tmp_path):
              "gate_max": 0.99, "gate_collapse_frac": 0.9} for i in range(5)]
     _write_hb(tmp_path / "heartbeat.jsonl", recs)
     policy = WatchdogPolicy(gate_consecutive=3)
-    state = {}
+    state = {"watch_start": now - 60}   # watchdog attached before the beats
     results = [check_once(str(tmp_path), policy, state) for _ in range(3)]
     assert results[-1] == "gate_collapse"
 
@@ -141,7 +166,7 @@ def test_watchdog_healthy_run_no_halt(tmp_path):
              "gate_max": 0.4, "gate_collapse_frac": 0.0, "grad_norm": 0.5}
             for i in range(8)]
     _write_hb(tmp_path / "heartbeat.jsonl", recs)
-    state = {}
+    state = {"watch_start": now - 60}
     for _ in range(5):
         assert check_once(str(tmp_path), WatchdogPolicy(), state) is None
     assert not os.path.exists(tmp_path / ".HALT")
