@@ -30,13 +30,17 @@ run train_s16k_b2 3600 python bench/bench_train.py --batch 2 --seq 16384 \
 
 # 3. flagship serving (12-layer m7c; VERDICT item 5)
 run serve_m7c 2400 python bench/bench_decode.py --serve --layers 12 \
-    --dim 768 --heads 12 --groups 2
+    --dim 768 --heads 12 --groups 2 --batch 1
+run serve_m7c_b64 2400 python bench/bench_decode.py --serve --layers 12 \
+    --dim 768 --heads 12 --groups 2 --batch 64
 run serve_ragged_m7c 2400 python bench/bench_decode.py --serve-ragged \
-    --layers 12 --dim 768 --heads 12 --groups 2
+    --layers 12 --dim 768 --heads 12 --groups 2 --batch 16
 run serve_cb_m7c 3000 python bench/bench_decode.py --serve-cb --layers 12 \
-    --dim 768 --heads 12 --groups 2
+    --dim 768 --heads 12 --groups 2 --batch 16
+run serve_cb_m7c_b64 3000 python bench/bench_decode.py --serve-cb --layers 12 \
+    --dim 768 --heads 12 --groups 2 --batch 64
 run serve_350m 3000 python bench/bench_decode.py --serve --layers 24 \
-    --dim 1024 --heads 16 --groups 4
+    --dim 1024 --heads 16 --groups 4 --batch 1
 
 # 4. extended decode guard (S to 65536) + snapshot
 run decode_guard 2400 python bench.py
