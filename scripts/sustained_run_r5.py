@@ -109,6 +109,11 @@ def run_drill(steps: int = 400) -> dict:
 
     import yaml
 
+    # fresh drill dir: a leftover .HALT from a previous drill would gate
+    # the trainer at startup and fake a "fired" result
+    import shutil
+    if os.path.isdir(DRILL_DIR):
+        shutil.rmtree(DRILL_DIR)
     os.makedirs(DRILL_DIR, exist_ok=True)
     with open(os.path.join(REPO, "configs", "m7c_125m.yaml")) as f:
         cfg = yaml.safe_load(f)
@@ -143,7 +148,20 @@ def main() -> None:
     ap.add_argument("--phase2-only", action="store_true",
                     help="re-run the resume leg against an existing "
                          "phase-1 run dir (e.g. after an ops fix)")
+    ap.add_argument("--drill-only", action="store_true",
+                    help="re-run just the watchdog fire drill + summary "
+                         "against the existing sustained run dir")
     args = ap.parse_args()
+
+    if args.drill_only:
+        drill = run_drill()
+        print("drill:", json.dumps(drill), flush=True)
+        _summarize(args, {"note": "see phase1/phase2 of the earlier "
+                                  "invocations"}, {"final_step":
+                          last_csv_step(os.path.join(RUN_DIR,
+                                                     "training.csv"))},
+                   drill)
+        return
 
     if args.phase2_only:
         p1 = {"killed_at_step": args.kill_after, "rc": -9,
@@ -155,7 +173,10 @@ def main() -> None:
     print("phase2:", json.dumps(p2), flush=True)
     drill = None if args.skip_drill else run_drill()
     print("drill:", json.dumps(drill), flush=True)
+    _summarize(args, p1, p2, drill)
 
+
+def _summarize(args, p1, p2, drill) -> None:
     # summarize the loss trajectory across the kill/resume boundary
     csv_path = os.path.join(RUN_DIR, "training.csv")
     with open(csv_path) as f:
