@@ -213,6 +213,18 @@ VARIANTS += [
     ("sel-twopass", {"sel.bwd_onepass": 0}),
     ("sel-twopass-kb16", {"sel.bwd_onepass": 0, "sel.bwd_kv_batch": 16}),
     ("sel-twopass-q512", {"sel.bwd_onepass": 0, "sel.bwd_block_q": 512}),
+    # r5 long-context wave (run with --seq 8192 --batch 2 --only s8k-*):
+    # at S=8192 the per-tile block unions SATURATE (J=128, every block
+    # active per tile — see PERFORMANCE.md r5 analysis), so the
+    # compaction skips nothing and the sel grid is Jg-steps-bound; wider
+    # kv batches amortize per-step overhead exactly when nothing can be
+    # skipped. Distinct s8k- names: these records carry the S=8192 loss
+    # gate, NOT 5.5659 — never merged by ab_select into the dense config.
+    ("s8k-control", {}),
+    ("s8k-selkb16", {"sel.kv_batch": 16}),
+    ("s8k-selbwdkb16", {"sel.bwd_kv_batch": 16}),
+    ("s8k-selkb16-both", {"sel.kv_batch": 16, "sel.bwd_kv_batch": 16}),
+    ("s8k-selbq256", {"sel.block_q": 256}),
 ]
 
 
