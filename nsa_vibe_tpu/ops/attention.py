@@ -369,11 +369,26 @@ def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
     return f
 
 
-def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
+def _sel_kv_batches(S_kv: int) -> tuple:
+    """(fwd kv_batch, bwd kv_batch) for the selection kernels, by KV
+    length: past union saturation (S_kv >= sel.long_s) every q-tile's
+    block union covers ~all J blocks, so the grid is steps-bound and
+    wider kv batches win (+7.8% e2e at S=8192, loss-identical —
+    ab_queue s8k-* records); below it the same widening loses 1-2%
+    (r4 waves), so the defaults stay narrow."""
+    if S_kv >= int(tuned("sel.long_s", 4096)):
+        return (int(tuned("sel.kv_batch_long", 16)),
+                int(tuned("sel.bwd_kv_batch_long", 16)))
+    return (tuned("sel.kv_batch"),
+            tuned("sel.bwd_kv_batch", tuned("sel.kv_batch")))
+
+
+def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool,
+                   S_kv: int = 0):
+    kb_f, kb_b = _sel_kv_batches(S_kv)
     kw = dict(l_sel=l_sel, scale=scale, interpret=interpret,
-              kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
-    kwb = dict(kw, block_q=tuned("sel.bwd_block_q", 128),
-               kv_batch=tuned("sel.bwd_kv_batch", kw["kv_batch"]))
+              kv_batch=kb_f, block_q=tuned("sel.block_q"))
+    kwb = dict(kw, block_q=tuned("sel.bwd_block_q", 128), kv_batch=kb_b)
     kwb_chunk = tuned("sel.bwd_q_chunk", 0)
 
     @jax.custom_vjp
@@ -400,15 +415,15 @@ def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool):
 
 
 def _sel_flash_vjp_gated(l_sel: int, scale: float, interpret: bool,
-                         flat: bool = False):
+                         flat: bool = False, S_kv: int = 0):
     """Gate-epilogue fold variant of _sel_flash_vjp (see
     _flash_vjp_gated for the gradient contract)."""
     from nsa_vibe_tpu.ops.pallas.flash import gate_rows_flat
 
+    kb_f, kb_b = _sel_kv_batches(S_kv)
     kw = dict(l_sel=l_sel, scale=scale, interpret=interpret,
-              kv_batch=tuned("sel.kv_batch"), block_q=tuned("sel.block_q"))
-    kwb = dict(kw, block_q=tuned("sel.bwd_block_q", 128),
-               kv_batch=tuned("sel.bwd_kv_batch", kw["kv_batch"]))
+              kv_batch=kb_f, block_q=tuned("sel.block_q"))
+    kwb = dict(kw, block_q=tuned("sel.bwd_block_q", 128), kv_batch=kb_b)
     kwb_chunk = tuned("sel.bwd_q_chunk", 0)
 
     @jax.custom_vjp
@@ -644,10 +659,11 @@ def selection_attention(
             gate = jnp.pad(gate, ((0, 0), (0, pad_s), (0, 0)))
     if gate is not None:
         assert not flat or Qp.shape[3] == h, "flat-IO requires even h"
-        out = _sel_flash_vjp_gated(l_sel, scale, interpret, flat=flat)(
+        out = _sel_flash_vjp_gated(l_sel, scale, interpret, flat=flat,
+                                   S_kv=K.shape[2])(
             sel_idx, _as_t0(pos_offset), gate, Qp, K, V)
     else:
-        out = _sel_flash_vjp(l_sel, scale, interpret)(
+        out = _sel_flash_vjp(l_sel, scale, interpret, S_kv=K.shape[2])(
             sel_idx, _as_t0(pos_offset), Qp, K, V)
     if pad_s:
         out = out[:, :S]

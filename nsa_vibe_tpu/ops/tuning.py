@@ -113,6 +113,22 @@ DEFAULTS = {
     # HBM bytes on every O write / dO read / combine fusion (r4 profile
     # layout strings), and the flat combine feeds W_O with no reshape.
     "nsa.flat_io": 0,
+    # long-context selection kv batching (r5): past union saturation
+    # (S_kv >= sel.long_s — every q-tile's block union covers ~all J
+    # blocks, the compaction skips nothing) the sel grid is
+    # steps-bound and WIDER kv batches win: S=8192/b2 measured
+    # control 32,076 -> bwd KB16 34,508 -> fwd+bwd KB16 34,569 toks/s
+    # (+7.8%, loss-identical; ab_queue s8k-* records). At S=2048 the
+    # same widening LOSES 1-2% (r4 waves), so the wide values engage
+    # only at length: dispatch picks by S_kv (ops.attention). The
+    # threshold sits at the MEASURED win point (8192); S=4096 is
+    # plausibly also in the saturation regime (J=64 < a tile's 2048
+    # selection slots) but is not yet e2e-measured with KB16 — flip to
+    # 4096 only after an s4k A/B run (the repo rule: every default
+    # carries an e2e measurement).
+    "sel.long_s": 8192,
+    "sel.kv_batch_long": 16,
+    "sel.bwd_kv_batch_long": 16,
 }
 
 _TUNING_PATH = os.environ.get(
