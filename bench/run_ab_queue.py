@@ -225,6 +225,32 @@ VARIANTS += [
     ("s8k-selbwdkb16", {"sel.bwd_kv_batch": 16}),
     ("s8k-selkb16-both", {"sel.kv_batch": 16, "sel.bwd_kv_batch": 16}),
     ("s8k-selbq256", {"sel.block_q": 256}),
+    # r5 follow-up (run with --seq 4096 --batch 4 --only s4k-*): decide
+    # whether the sel.long_s length-adaptive gate should fire at 4096.
+    # At S=4096 the unions are saturated too (J=64 blocks all active per
+    # 128-row tile once t >= l_sel*J), but the grid has 4x fewer steps
+    # than S=8192, so the per-step-overhead amortization that won +7.6%
+    # there may not clear the wider-batch masking cost here. The r4
+    # "KB widening loses 1-2%" result was measured at S=2048 only —
+    # S=4096 was never measured (the one attempt hung the tunnel).
+    # Loss gate for these records: 5.5542 (S=4096 B=4 chained, r4 rung).
+    ("s4k-control", {}),
+    ("s4k-selkb16-both", {"sel.kv_batch": 16, "sel.bwd_kv_batch": 16}),
+    ("s4k-selkb16", {"sel.kv_batch": 16}),
+    ("s4k-selbwdkb16", {"sel.bwd_kv_batch": 16}),
+    # r5 late (run with --seq 16384 --batch 1 --only s16k-*): at 16k the
+    # sel grid is the most steps-bound point on the ladder (J=256 blocks,
+    # unions fully saturated) — probe whether widening past the measured
+    # KB16 (the *_long defaults) keeps paying or hits the VMEM/masking
+    # wall. Overrides target the _long keys since S=16384 >= both gates.
+    # Loss gate for these records: 5.5583 (S=16384 B=1 chained, r5 rung).
+    ("s16k-control", {}),
+    ("s16k-bkb24", {"sel.bwd_kv_batch_long": 24}),
+    ("s16k-bkb32", {"sel.bwd_kv_batch_long": 32}),
+    ("s16k-fkb24", {"sel.kv_batch_long": 24}),
+    # threshold placement for the KB24 tier (runs at --seq 8192 --batch 2
+    # against the post-gate defaults, i.e. control is bwd KB16):
+    ("s8k-bkb24", {"sel.bwd_kv_batch_long": 24}),
 ]
 
 
@@ -247,6 +273,8 @@ def run_variant(name: str, overrides: dict, args) -> dict:
         cmd += ["--chained"]
     if args.varlen:
         cmd += ["--varlen"]
+    if args.remat:
+        cmd += ["--remat"] + ([args.remat] if args.remat is not True else [])
     t0 = time.time()
     try:
         out = subprocess.run(cmd, env=env, capture_output=True, text=True,
@@ -271,6 +299,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seq", type=int, default=2048)
     ap.add_argument("--timeout", type=int, default=1500)
+    ap.add_argument("--remat", nargs="?", const=True, default=False,
+                    help="pass --remat [mlp] through to bench_train "
+                         "(long-S rungs need it; records carry the flag)")
     ap.add_argument("--only", default=None,
                     help="comma-separated variant names")
     ap.add_argument("--varlen", action="store_true",

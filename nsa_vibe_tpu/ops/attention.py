@@ -371,16 +371,23 @@ def _flash_vjp_gated(mode: str, w: int, l: int, d: int, scale: float,
 
 def _sel_kv_batches(S_kv: int) -> tuple:
     """(fwd kv_batch, bwd kv_batch) for the selection kernels, by KV
-    length: past union saturation (S_kv >= sel.long_s) every q-tile's
-    block union covers ~all J blocks, so the grid is steps-bound and
-    wider kv batches win (+7.8% e2e at S=8192, loss-identical —
-    ab_queue s8k-* records); below it the same widening loses 1-2%
-    (r4 waves), so the defaults stay narrow."""
-    if S_kv >= int(tuned("sel.long_s", 4096)):
-        return (int(tuned("sel.kv_batch_long", 16)),
-                int(tuned("sel.bwd_kv_batch_long", 16)))
-    return (tuned("sel.kv_batch"),
-            tuned("sel.bwd_kv_batch", tuned("sel.kv_batch")))
+    length: past union saturation every q-tile's block union covers
+    ~all J blocks, so the grid is steps-bound and wider kv batches
+    win; below it the same widening loses 1-2% (r4 waves at S=2048),
+    so the defaults stay narrow. The two directions cross over at
+    DIFFERENT lengths (ab_queue s4k-*/s8k-* records, loss-identical):
+    the backward pays from S=4096 (+4.7% at 4k, +7.6% at 8k — its
+    per-step cost is dominated by the dual dKV/dQ DMA setup that
+    widening amortizes), the forward only from S=8192 (-0.3% at 4k,
+    +0.2% at 8k — its masking cost grows with batch width until the
+    grid is fully steps-bound), hence sel.bwd_long_s < sel.long_s."""
+    kb_f = (int(tuned("sel.kv_batch_long", 16))
+            if S_kv >= int(tuned("sel.long_s", 8192))
+            else tuned("sel.kv_batch"))
+    kb_b = (int(tuned("sel.bwd_kv_batch_long", 16))
+            if S_kv >= int(tuned("sel.bwd_long_s", 4096))
+            else tuned("sel.bwd_kv_batch", tuned("sel.kv_batch")))
+    return (kb_f, kb_b)
 
 
 def _sel_flash_vjp(l_sel: int, scale: float, interpret: bool,

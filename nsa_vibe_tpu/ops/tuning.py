@@ -114,19 +114,19 @@ DEFAULTS = {
     # layout strings), and the flat combine feeds W_O with no reshape.
     "nsa.flat_io": 0,
     # long-context selection kv batching (r5): past union saturation
-    # (S_kv >= sel.long_s — every q-tile's block union covers ~all J
-    # blocks, the compaction skips nothing) the sel grid is
-    # steps-bound and WIDER kv batches win: S=8192/b2 measured
-    # control 32,076 -> bwd KB16 34,508 -> fwd+bwd KB16 34,569 toks/s
-    # (+7.8%, loss-identical; ab_queue s8k-* records). At S=2048 the
-    # same widening LOSES 1-2% (r4 waves), so the wide values engage
-    # only at length: dispatch picks by S_kv (ops.attention). The
-    # threshold sits at the MEASURED win point (8192); S=4096 is
-    # plausibly also in the saturation regime (J=64 < a tile's 2048
-    # selection slots) but is not yet e2e-measured with KB16 — flip to
-    # 4096 only after an s4k A/B run (the repo rule: every default
-    # carries an e2e measurement).
+    # (every q-tile's block union covers ~all J blocks, the compaction
+    # skips nothing) the sel grid is steps-bound and WIDER kv batches
+    # win: S=8192/b2 measured control 32,076 -> bwd KB16 34,508 ->
+    # fwd+bwd KB16 34,569 toks/s (+7.8%, loss-identical; ab_queue
+    # s8k-* records). At S=2048 the same widening LOSES 1-2% (r4
+    # waves), so the wide values engage only at length: dispatch picks
+    # by S_kv (ops.attention::_sel_kv_batches). The two directions
+    # cross over at different lengths — the s4k A/B (S=4096/b4,
+    # ab_queue s4k-*) measured bwd KB16 +4.7% (45,628 -> 47,761) but
+    # fwd KB16 -0.3% standalone, so the backward threshold is 4096 and
+    # the forward stays at its measured 8192 win point.
     "sel.long_s": 8192,
+    "sel.bwd_long_s": 4096,
     "sel.kv_batch_long": 16,
     "sel.bwd_kv_batch_long": 16,
 }

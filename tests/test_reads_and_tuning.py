@@ -88,6 +88,21 @@ def test_tuning_defaults_and_override(tmp_path, monkeypatch):
         tuning._load.cache_clear()
 
 
+def test_sel_kv_batches_length_gate():
+    """Per-direction length-adaptive sel kv batching (ab_queue
+    s4k-*/s8k-*): bwd widens from sel.bwd_long_s=4096 (+4.7% at 4k,
+    +7.6% at 8k), fwd only from sel.long_s=8192 (-0.3% at 4k)."""
+    from nsa_vibe_tpu.ops.attention import _sel_kv_batches
+    from nsa_vibe_tpu.ops import tuning
+
+    kb8_f = tuning.tuned("sel.kv_batch")
+    kb8_b = tuning.tuned("sel.bwd_kv_batch")
+    assert _sel_kv_batches(2048) == (kb8_f, kb8_b)      # both narrow
+    assert _sel_kv_batches(4096) == (kb8_f, 16)         # bwd-only wide
+    assert _sel_kv_batches(8192) == (16, 16)            # both wide
+    assert _sel_kv_batches(65536) == (16, 16)
+
+
 def test_scorer_vmem_guard_scales():
     from nsa_vibe_tpu.ops.pallas.scorer import scorer_fits_vmem
 
